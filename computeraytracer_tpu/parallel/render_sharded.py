@@ -1,0 +1,68 @@
+"""Sharded rendering: film rows over 'dp', samples over 'sp'.
+
+TPU-native replacement for the reference's single-device dispatch grid
+(/root/reference/src/main.js:606-610): shard_map over a (dp, sp) mesh
+with the scene replicated on every device. Each device renders its own
+film-row tile for its own slice of the sample set; the only forward
+collective is the psum of XYZ accumulators over the sample axis. Seeds
+derive from global pixel coordinates, so the sharded render is
+bit-identical to the single-device render.
+
+Everything here is differentiable: jax.grad through shard_map transposes
+the psum automatically, producing the gradient all-reduce of SURVEY.md
+§2.4 without hand-written communication.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from computeraytracer_tpu.parallel.mesh import DP_AXIS, SP_AXIS
+from computeraytracer_tpu.tracer import xla as xla_tracer
+
+
+def render_accumulate_sharded(scene, width: int, height: int, spp: int,
+                              mesh, max_depth: int = 8, rr_start: int = 1,
+                              first_sample: int = 1, use_remat: bool = True):
+    """Accumulated XYZ (H, W, 3) over spp samples, sharded over `mesh`.
+
+    height must divide by mesh dp size; spp by mesh sp size. The result
+    equals render_accumulate(...) exactly (same seeds, same sample set).
+    """
+    dp = mesh.shape[DP_AXIS]
+    sp = mesh.shape[SP_AXIS]
+    if height % dp != 0:
+        raise ValueError(f"height {height} not divisible by dp={dp}")
+    if spp % sp != 0:
+        raise ValueError(f"spp {spp} not divisible by sp={sp}")
+    tile_h = height // dp
+    local_spp = spp // sp
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(),),
+             out_specs=P(DP_AXIS, None, None))
+    def fn(scene):
+        dpi = jax.lax.axis_index(DP_AXIS)
+        spi = jax.lax.axis_index(SP_AXIS)
+        y0 = dpi.astype(jnp.uint32) * jnp.uint32(tile_h)
+        px, py = xla_tracer.tile_coords(width, tile_h, y0)
+
+        def body(acc, k):
+            s = (jnp.uint32(first_sample) + spi.astype(jnp.uint32)
+                 * jnp.uint32(local_spp) + k)
+            xyz = xla_tracer.render_pixels(
+                scene, width, height, px, py, s, max_depth, rr_start,
+                use_remat)
+            return acc + xyz, None
+
+        acc0 = jnp.zeros((tile_h * width, 3), jnp.float32)
+        acc, _ = jax.lax.scan(body, acc0,
+                              jnp.arange(local_spp, dtype=jnp.uint32))
+        acc = jax.lax.psum(acc, SP_AXIS)
+        return acc.reshape(tile_h, width, 3)
+
+    return fn(scene)

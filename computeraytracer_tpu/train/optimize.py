@@ -1,0 +1,146 @@
+"""Gradient-based scene optimization (BASELINE config 4).
+
+The reference is forward-only; differentiability is a required new
+capability (BASELINE.json north_star): pixel gradients flow to vertex
+positions (primitives data1/2/3) and material parameters (spectra rows)
+through the path tracer, with detached sampling (common random numbers).
+
+A scene is split into (params, static); the loss renders the scene from
+merged params and compares to a target in XYZ. With a mesh, rendering is
+sharded and jax.grad transposes the forward psum into the parameter
+gradient all-reduce automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from computeraytracer_tpu.tracer import xla as xla_tracer
+from computeraytracer_tpu.parallel import render_sharded
+
+# Leaves of Scene that may be trained.
+GEOMETRY_LEAVES = ("data1", "data2", "data3")
+TRAINABLE = ("spectra",) + GEOMETRY_LEAVES
+
+
+def split_scene(scene, trainable: Iterable[str] = ("spectra",)):
+    """Split a Scene into (params dict, static scene with zeroed params).
+
+    trainable: subset of {"spectra", "data1", "data2", "data3"}.
+    """
+    trainable = tuple(trainable)
+    params = {}
+    for name in trainable:
+        if name == "spectra":
+            params[name] = scene.spectra
+        elif name in GEOMETRY_LEAVES:
+            params[name] = getattr(scene.primitives, name)
+        else:
+            raise ValueError(f"not trainable: {name}")
+    return params, scene
+
+
+def merge_scene(static_scene, params):
+    """Re-insert trainable leaves into the scene pytree."""
+    scene = static_scene
+    if "spectra" in params:
+        scene = scene._replace(spectra=params["spectra"])
+    geom = {k: v for k, v in params.items() if k in GEOMETRY_LEAVES}
+    if geom:
+        scene = scene._replace(primitives=scene.primitives._replace(**geom))
+    return scene
+
+
+def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
+                    first_sample=1, mesh=None):
+    if mesh is None:
+        accum = jnp.zeros((height, width, 3), jnp.float32)
+
+        def body(acc, s):
+            return acc + xla_tracer.render_sample(
+                scene, width, height, s, max_depth, rr_start), None
+
+        samples = jnp.arange(first_sample, first_sample + spp,
+                             dtype=jnp.uint32)
+        accum, _ = jax.lax.scan(body, accum, samples)
+    else:
+        accum = render_sharded.render_accumulate_sharded(
+            scene, width, height, spp, mesh, max_depth, rr_start,
+            first_sample)
+    return accum / jnp.float32(spp)
+
+
+def make_loss_fn(static_scene, width, height, spp, max_depth,
+                 rr_start: int = 1, mesh=None):
+    """L2 loss in XYZ between the rendered mean and a target image."""
+
+    def loss_fn(params, target, first_sample):
+        scene = merge_scene(static_scene, params)
+        img = render_mean_xyz(scene, width, height, spp, max_depth,
+                              rr_start, first_sample, mesh)
+        return jnp.mean((img - target) ** 2)
+
+    return loss_fn
+
+
+def make_train_step(static_scene, optimizer, width, height, spp, max_depth,
+                    rr_start: int = 1, mesh=None):
+    """jitted (params, opt_state, target, first_sample) -> updated state."""
+    loss_fn = make_loss_fn(static_scene, width, height, spp, max_depth,
+                           rr_start, mesh)
+
+    @jax.jit
+    def step(params, opt_state, target, first_sample):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target,
+                                                  first_sample)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def optimize(scene, target, width, height, *, trainable=("spectra",),
+             steps=50, learning_rate=0.05, spp=4, max_depth=4,
+             rr_start: int = 1, mesh=None, checkpoint_dir: Optional[str] = None,
+             checkpoint_every: int = 25, callback=None):
+    """Run the material/geometry optimization loop (config 4).
+
+    Samples advance across steps (fresh common-random-number batches per
+    step). Returns (optimized scene, list of losses).
+    """
+    params, static_scene = split_scene(scene, trainable)
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(static_scene, optimizer, width, height, spp,
+                              max_depth, rr_start, mesh)
+    losses = []
+    ckpt = None
+    if checkpoint_dir is not None:
+        from computeraytracer_tpu.train import checkpoint as ckpt_mod
+        ckpt = ckpt_mod.Checkpointer(checkpoint_dir)
+        restored = ckpt.restore_latest(params, opt_state)
+        if restored is not None:
+            params, opt_state, start_step = restored
+        else:
+            start_step = 0
+    else:
+        start_step = 0
+
+    for i in range(start_step, steps):
+        first_sample = jnp.uint32(1 + i * spp)
+        params, opt_state, loss = step_fn(params, opt_state, target,
+                                          first_sample)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, float(loss), params)
+        if ckpt is not None and (i + 1) % checkpoint_every == 0:
+            ckpt.save(i + 1, params, opt_state)
+    if ckpt is not None:
+        ckpt.save(steps, params, opt_state)
+    return merge_scene(static_scene, params), losses
