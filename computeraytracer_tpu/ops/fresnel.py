@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from computeraytracer_tpu.ops.intersect import safe_sqrt
+
 
 def fresnel_s(ray_dir, normal, eta1: float, eta2: float):
     """Unpolarized Fresnel reflectance for unit ray_dir/normal (...)."""
@@ -16,7 +18,7 @@ def fresnel_s(ray_dir, normal, eta1: float, eta2: float):
     eta = jnp.where(cosi > 0.0, eta2 / eta1, eta1 / eta2)
     sint2 = eta * eta * (1.0 - cosi * cosi)
     tir = sint2 > 1.0
-    cost = jnp.sqrt(jnp.maximum(1.0 - sint2, 0.0))
+    cost = safe_sqrt(1.0 - sint2)
     cosi_a = jnp.abs(cosi)
     rs = (eta1 * cosi_a - eta2 * cost) / (eta1 * cosi_a + eta2 * cost)
     rp = (eta2 * cosi_a - eta1 * cost) / (eta2 * cosi_a + eta1 * cost)
@@ -39,6 +41,6 @@ def refract(incident, normal, eta):
     tir = k < 0.0
     out = (
         eta[..., None] * incident
-        - (eta * ndoti + jnp.sqrt(jnp.maximum(k, 0.0)))[..., None] * normal
+        - (eta * ndoti + safe_sqrt(k))[..., None] * normal
     )
     return jnp.where(tir[..., None], 0.0, out)

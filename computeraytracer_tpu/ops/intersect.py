@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 T_MIN = 0.001
@@ -53,13 +54,31 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+def safe_normalize(v, eps=1e-20):
+    """Normalize with NaN-free gradients at v ~= 0.
+
+    jnp.linalg.norm has an inf gradient at 0 which poisons grads through
+    jnp.where (the double-where problem); guard the sum-of-squares before
+    the sqrt. For |v| >= 1e-10 the result is bitwise identical in f32.
+    """
+    s = _dot(v, v)
+    s = jnp.where(s < eps, 1.0, s)
+    # division (not rsqrt) so results stay bitwise identical to v/|v|
+    return v / jnp.sqrt(s)[..., None]
+
+
+def safe_sqrt(x, eps=0.0):
+    """sqrt with a NaN-free gradient for x <= 0 (value is 0 there)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), eps)
+
+
 def patch_candidates(o, d, origin, edge1, edge2):
     """Ray-vs-patch t for broadcast shapes; returns (t, valid).
 
     o, d: (..., 3); origin/edge1/edge2: broadcastable to (..., 3).
     """
-    n = jnp.cross(edge1, edge2)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n = safe_normalize(jnp.cross(edge1, edge2))
     ndotd = _dot(n, d)
     # Flip toward ray (wgsl:541-545); after the flip ndotd <= 0.
     n = jnp.where(ndotd[..., None] > 0, -n, n)
@@ -69,8 +88,8 @@ def patch_candidates(o, d, origin, edge1, edge2):
     t = _dot(n, origin - o) / safe_ndotd
     p = o + t[..., None] * d
     m = p - origin
-    u = _dot(m, edge1) / jnp.maximum(_dot(edge1, edge1), 1e-20)
-    v = _dot(m, edge2) / jnp.maximum(_dot(edge2, edge2), 1e-20)
+    u = _dot(m, edge1) / jnp.maximum(_dot(edge1, edge1), 1e-12)
+    v = _dot(m, edge2) / jnp.maximum(_dot(edge2, edge2), 1e-12)
     valid = (~grazing) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
     return t, valid
 
@@ -83,9 +102,13 @@ def sphere_candidates(o, d, center, radius, t_min, t_max):
     c = _dot(co, co) - radius * radius
     disc = b * b - 4.0 * a * c
     has_root = disc > 0.0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t_near = (-b - sq) / (2.0 * a)
-    t_far = (-b + sq) / (2.0 * a)
+    sq = safe_sqrt(disc)
+    # guard the 2a denominator for degenerate (zero-direction) rays on
+    # masked lanes; true division keeps bitwise parity with the oracle
+    denom = jnp.where(a > 1e-12, 2.0 * a, 1.0)
+    t_near = (-b - sq) / denom
+    t_far = (-b + sq) / denom
+    has_root = has_root & (a > 1e-12)
     near_ok = (t_near >= t_min) & (t_near <= t_max)
     t = jnp.where(near_ok, t_near, t_far)
     valid = has_root & (t >= t_min) & (t <= t_max)
@@ -138,8 +161,7 @@ def shading_normal(prims, idx, o, d, position):
     d3 = prims.data3[idx]
     n_flat = jnp.cross(d2, d3)  # patches and triangles
     n_sph = position - d1
-    n = jnp.where((cat == CAT_SPHERE)[..., None], n_sph, n_flat)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n = safe_normalize(jnp.where((cat == CAT_SPHERE)[..., None], n_sph, n_flat))
     # Patches/triangles flip toward the ray; spheres use the outward
     # normal unflipped (wgsl:617-618).
     flip = (_dot(n, d) > 0) & (cat != CAT_SPHERE)

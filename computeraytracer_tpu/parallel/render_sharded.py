@@ -5,8 +5,10 @@ TPU-native replacement for the reference's single-device dispatch grid
 with the scene replicated on every device. Each device renders its own
 film-row tile for its own slice of the sample set; the only forward
 collective is the psum of XYZ accumulators over the sample axis. Seeds
-derive from global pixel coordinates, so the sharded render is
-bit-identical to the single-device render.
+derive from global pixel coordinates, so the sharded render consumes
+exactly the same sample set as a single-device render (equal up to f32
+rounding: XLA fuses differently per shard shape, which can flip rare
+Russian-roulette decisions).
 
 Everything here is differentiable: jax.grad through shard_map transposes
 the psum automatically, producing the gradient all-reduce of SURVEY.md
@@ -20,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from computeraytracer_tpu.parallel.mesh import DP_AXIS, SP_AXIS
 from computeraytracer_tpu.tracer import xla as xla_tracer
@@ -32,7 +34,8 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
     """Accumulated XYZ (H, W, 3) over spp samples, sharded over `mesh`.
 
     height must divide by mesh dp size; spp by mesh sp size. The result
-    equals render_accumulate(...) exactly (same seeds, same sample set).
+    matches render_accumulate(...) (same seeds, same sample set) up to
+    f32 rounding.
     """
     dp = mesh.shape[DP_AXIS]
     sp = mesh.shape[SP_AXIS]
@@ -43,8 +46,11 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
     tile_h = height // dp
     local_spp = spp // sp
 
+    # check_vma=False: the path-trace scan mixes replicated scene data
+    # into device-varying carries, which trips jax's varying-manual-axes
+    # typing; semantics are unaffected (pure per-shard compute + psum).
     @partial(shard_map, mesh=mesh, in_specs=(P(),),
-             out_specs=P(DP_AXIS, None, None))
+             out_specs=P(DP_AXIS, None, None), check_vma=False)
     def fn(scene):
         dpi = jax.lax.axis_index(DP_AXIS)
         spi = jax.lax.axis_index(SP_AXIS)

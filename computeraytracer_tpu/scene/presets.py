@@ -144,6 +144,27 @@ def simple_scene(width: int = 256, height: int = 256) -> dict:
     }
 
 
+def unoccluded_scene(width: int = 256, height: int = 256) -> dict:
+    """Floor + back wall + out-of-frustum rect light, NO occluders.
+
+    Every visibility edge is outside the camera frustum (the light sits
+    above the visible sky line, so even its direct-hit silhouette is
+    gone) and nothing shadows anything: the rendered image is a smooth
+    function of vertex positions — the scene where interior (AD) vertex
+    gradients must equal finite differences (test_gradients.py)."""
+    doc = simple_scene(width, height)
+    doc["objects"]["spheres"] = []
+    # oversized floor/wall so every patch boundary stays far outside the
+    # frustum (a primary ray grazing a patch edge is a visibility edge)
+    doc["objects"]["patches"] = [
+        _patch([-5, 0, -3], [0, 0, 10], [10, 0, 0], "white"),
+        _patch([-5, 0, -3], [10, 0, 0], [0, 9, 0], "white"),
+        _patch([-1.2, 5.0, -1.6], [2.4, 0, 0], [0, 0, 2.4],
+               "white", "light", "light"),
+    ]
+    return doc
+
+
 def cornell_box_glassless(width: int = 512, height: int = 512) -> dict:
     """Cornell variant without glass (pure-diffuse estimator tests)."""
     doc = cornell_box(width, height)

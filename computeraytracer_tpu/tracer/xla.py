@@ -58,8 +58,7 @@ class PathState(NamedTuple):
     active: jnp.ndarray      # (R,) bool path still alive
 
 
-def _safe_normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+_safe_normalize = isect.safe_normalize
 
 
 def _dot(a, b):
@@ -107,7 +106,7 @@ def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p):
         shadow.position, hit.position)
     pdf_b = cos_theta / jnp.pi
     weight_l = sampling.power_heuristic(1.0, pdf_l, 1.0, pdf_b)
-    contrib = le * (weight_l / jnp.maximum(pdf_l, 1e-20))[..., None]
+    contrib = le * (weight_l / jnp.maximum(pdf_l, 1e-12))[..., None]
     take = (is_diffuse & unoccluded)[..., None]
     return jnp.where(take, brdf * contrib * beta, 0.0)
 
@@ -144,7 +143,8 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
 
     # --- Beer-Lambert attenuation through the extinction spectrum
     # (the LAST spectrum row; wgsl:173-179)
-    dist = jnp.linalg.norm(hit.position - o, axis=-1)
+    # NaN-safe distance (missed lanes have position == o)
+    dist = isect.safe_sqrt(_dot(hit.position - o, hit.position - o))
     ext = scene.spectra[-1][lambdas]
     atten = jnp.exp(-ext * dist[..., None])
     beta = jnp.where((scatter & state.in_transmission)[..., None],
@@ -168,7 +168,7 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
     bounce_dir, bounce_pdf = sampling.cosine_hemisphere(hit.normal, u_h, v_h)
     cos_b = jnp.abs(_dot(hit.normal, bounce_dir))
     beta_diffuse = beta * brdf * (
-        cos_b / jnp.maximum(bounce_pdf, 1e-20))[..., None]
+        cos_b / jnp.maximum(bounce_pdf, 1e-12))[..., None]
 
     # ---------------- GLASS (wgsl:208-276): 1 draw -------------------
     u_g, seed = rng.rand_masked(seed, is_glass)
@@ -179,7 +179,7 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
     n_glass = jnp.where((cos_in > 0.0)[..., None], -hit.normal, hit.normal)
     pr = reflectance
     pt = 1.0 - reflectance
-    choose_reflect = u_g < pr / jnp.maximum(pr + pt, 1e-20)
+    choose_reflect = u_g < pr / jnp.maximum(pr + pt, 1e-12)
     refl_dir = fr.reflect(d, n_glass)
     refr_dir = _safe_normalize(fr.refract(d, n_glass, eta))
     glass_dir = jnp.where(choose_reflect[..., None], refl_dir, refr_dir)
@@ -219,7 +219,7 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
     killed = rr & (u_r < q)
     active = active & ~killed
     beta = jnp.where((rr & ~killed)[..., None],
-                     beta / jnp.maximum(1.0 - q, 1e-20)[..., None], beta)
+                     beta / jnp.maximum(1.0 - q, 1e-12)[..., None], beta)
 
     return PathState(seed, new_o, new_d, radiance, beta, last_pdf,
                      eta_scale, exclude, specular, in_transmission, active)

@@ -1,3 +1,3 @@
-from computeraytracer_tpu.train.optimize import (  # noqa: F401
-    split_scene, merge_scene, make_loss_fn, make_train_step, optimize,
-)
+# NOTE: no function re-exports here — `optimize` must stay importable as
+# a submodule (computeraytracer_tpu.train.optimize).
+from computeraytracer_tpu.train import checkpoint, optimize  # noqa: F401

@@ -65,8 +65,8 @@ def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
             return acc + xla_tracer.render_sample(
                 scene, width, height, s, max_depth, rr_start), None
 
-        samples = jnp.arange(first_sample, first_sample + spp,
-                             dtype=jnp.uint32)
+        samples = (jnp.asarray(first_sample, jnp.uint32)
+                   + jnp.arange(spp, dtype=jnp.uint32))
         accum, _ = jax.lax.scan(body, accum, samples)
     else:
         accum = render_sharded.render_accumulate_sharded(
@@ -108,11 +108,16 @@ def make_train_step(static_scene, optimizer, width, height, spp, max_depth,
 def optimize(scene, target, width, height, *, trainable=("spectra",),
              steps=50, learning_rate=0.05, spp=4, max_depth=4,
              rr_start: int = 1, mesh=None, checkpoint_dir: Optional[str] = None,
-             checkpoint_every: int = 25, callback=None):
+             checkpoint_every: int = 25, callback=None,
+             fresh_samples: bool = False):
     """Run the material/geometry optimization loop (config 4).
 
-    Samples advance across steps (fresh common-random-number batches per
-    step). Returns (optimized scene, list of losses).
+    fresh_samples=False (default) uses the SAME sample set every step
+    (common random numbers): the loss is a deterministic function of the
+    parameters, so against a target rendered with the same seeds the MC
+    noise cancels exactly. fresh_samples=True advances the sample
+    counter every step (less bias from a single sample set, but the
+    loss sequence carries MC noise). Returns (scene, losses).
     """
     params, static_scene = split_scene(scene, trainable)
     optimizer = optax.adam(learning_rate)
@@ -133,7 +138,7 @@ def optimize(scene, target, width, height, *, trainable=("spectra",),
         start_step = 0
 
     for i in range(start_step, steps):
-        first_sample = jnp.uint32(1 + i * spp)
+        first_sample = jnp.uint32(1 + i * spp if fresh_samples else 1)
         params, opt_state, loss = step_fn(params, opt_state, target,
                                           first_sample)
         losses.append(float(loss))

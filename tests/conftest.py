@@ -1,20 +1,23 @@
 """Test environment: 8 virtual CPU devices so sharding tests run anywhere.
 
-Must set XLA_FLAGS before jax initializes (SURVEY.md §4: JAX simulates
-multi-host topologies via --xla_force_host_platform_device_count)."""
+The container's sitecustomize imports jax and registers the axon TPU
+backend at interpreter startup with JAX_PLATFORMS=axon — but backends
+initialize lazily, so overriding jax.config before the first device
+access still works (SURVEY.md §4: JAX simulates multi-host topologies
+via --xla_force_host_platform_device_count on the CPU platform).
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-
-import jax  # noqa: E402
-
-jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
 
