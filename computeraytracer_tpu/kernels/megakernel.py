@@ -1,0 +1,557 @@
+"""Pallas TPU path-tracing megakernel (forward).
+
+TPU-native re-design of the reference's WGSL compute megakernel
+(/root/reference/src/shaders/ComputeShader.wgsl:77-295). One grid step
+traces a tile of TILE_M*128 rays to completion: the per-thread
+`while(true)` bounce loop becomes a fori_loop with masked (sublane,
+lane) vectors, and the 8x8-workgroup SIMT grid becomes the Pallas grid
+over ray tiles (SURVEY.md §2.4).
+
+Design notes (what makes this the TPU shape of the problem):
+
+- **Static scene structure.** Primitive categories, materials, spectrum
+  bindings and light rows are Python constants at kernel-build time, so
+  the per-primitive tests specialize at trace time (a sphere row emits
+  only the quadratic, a patch row only the plane test) and the material
+  branches reduce to mask algebra. Geometry and spectra stay traced
+  inputs — the differentiable parameters.
+- **No gathers in the hot loop.** The only dynamic indexing the WGSL
+  kernel does — spectra[index][lambda] — is hoisted out: XLA
+  precomputes a per-ray table of EVERY spectrum sampled at the ray's 4
+  hero wavelengths (S*4 planes), so in-loop spectrum lookup is a
+  static S-way select. CIE conversion and camera ray-gen also live
+  outside, where XLA fuses them for free.
+- **In-order primitive scan.** Each bounce scans primitives in packing
+  order with the reference's strict t > t_max rejection, reproducing
+  its last-wins tie semantics exactly (the coplanar ceiling light
+  depends on it) — no argmin reduction, and bit-for-bit the oracle's
+  draw stream via the same pcg4d (ops/rng.py) run on u32 vectors.
+- Scene scalars live in SMEM; all per-ray state is (TILE_M, 128) f32 /
+  u32 / bool vectors in VMEM/registers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from computeraytracer_tpu import config as C
+
+T_MIN = 0.001
+ETA1, ETA2 = 1.0, 1.5
+LANES = 128
+DEFAULT_TILE_M = 32  # 32 x 128 = 4096 rays per grid step
+
+
+class SceneStatic(NamedTuple):
+    """Non-differentiable scene structure, static at kernel build."""
+
+    categories: tuple      # per prim: 0 patch, 1 sphere, 2 triangle
+    materials: tuple       # per prim material enum
+    emission_idx: tuple    # per prim spectrum row
+    reflectance_idx: tuple
+    light_rows: tuple      # primitive rows that are lights (in order)
+    n_spectra: int
+
+    @classmethod
+    def from_scene(cls, scene) -> "SceneStatic":
+        p = scene.primitives
+        return cls(
+            categories=tuple(int(x) for x in np.asarray(p.category)),
+            materials=tuple(int(x) for x in np.asarray(p.material)),
+            emission_idx=tuple(int(x) for x in np.asarray(p.emission)),
+            reflectance_idx=tuple(int(x) for x in np.asarray(p.reflectance)),
+            light_rows=tuple(int(x) for x in
+                             np.asarray(scene.lights.prim_index)),
+            n_spectra=int(scene.spectra.shape[0]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# small vector helpers over (T, 128) planes; a "vec3" is a 3-tuple of planes
+# ---------------------------------------------------------------------------
+
+def _v3(x, y, z):
+    return (x, y, z)
+
+
+def _vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _vadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _vsub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _vscale(s, a):
+    return (s * a[0], s * a[1], s * a[2])
+
+
+def _vwhere(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def _vnormalize(a):
+    s = _vdot(a, a)
+    s = jnp.where(s < 1e-20, 1.0, s)
+    inv = 1.0 / jnp.sqrt(s)
+    return _vscale(inv, a)
+
+
+def _scalar_cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _vcross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+# ---------------------------------------------------------------------------
+# in-kernel pcg4d (vector u32), mirroring ops/rng.py exactly
+# ---------------------------------------------------------------------------
+
+_U32 = jnp.uint32
+
+
+def _pcg4d(s):
+    x, y, z, w = s
+    x = x * _U32(1664525) + _U32(1013904223)
+    y = y * _U32(1664525) + _U32(1013904223)
+    z = z * _U32(1664525) + _U32(1013904223)
+    w = w * _U32(1664525) + _U32(1013904223)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x, y, z, w = (v ^ (v >> 16) for v in (x, y, z, w))
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return (x, y, z, w)
+
+
+def _to_unit(bits):
+    return (bits & _U32(0x00FFFFFF)).astype(jnp.float32) * jnp.float32(
+        1.0 / 0x01000000)
+
+
+def _rand_masked(seed, mask):
+    new = _pcg4d(seed)
+    u = jnp.where(mask, _to_unit(new[0]), 0.0)
+    keep = lambda a, b: jnp.where(mask, a, b)
+    return u, tuple(keep(n, o) for n, o in zip(new, seed))
+
+
+# ---------------------------------------------------------------------------
+# the megakernel
+# ---------------------------------------------------------------------------
+
+def _scan_primitives(static: SceneStatic, prims_ref, o, d, exclude,
+                     shape):
+    """In-order closest-hit scan (wgsl:503-632 semantics).
+
+    Returns dict of (T,128) planes: hit, t, idx, pos, normal, mat planes.
+    """
+    inf = jnp.full(shape, jnp.inf, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    state = {
+        "t": inf,
+        "idx": jnp.full(shape, -1, jnp.int32),
+        "pos": (zero, zero, zero),
+        "nrm": (zero, zero, zero),
+    }
+    d_dot_d = _vdot(d, d)
+
+    for i, cat in enumerate(static.categories):
+        not_excluded = exclude != i
+        if cat in (0, 2):  # planar patch / triangle share the plane test
+            p0 = (prims_ref[i, 0], prims_ref[i, 1], prims_ref[i, 2])
+            e1 = (prims_ref[i, 3], prims_ref[i, 4], prims_ref[i, 5])
+            e2 = (prims_ref[i, 6], prims_ref[i, 7], prims_ref[i, 8])
+            n_raw = _scalar_cross(e1, e2)
+            n_len2 = n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1] + \
+                n_raw[2] * n_raw[2]
+            inv_len = 1.0 / jnp.sqrt(jnp.maximum(n_len2, 1e-30))
+            n0 = (n_raw[0] * inv_len, n_raw[1] * inv_len, n_raw[2] * inv_len)
+            ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
+            flip = ndotd > 0.0
+            ndotd_f = jnp.where(flip, -ndotd, ndotd)
+            grazing = jnp.abs(ndotd_f) < 1e-4
+            num = (n0[0] * (p0[0] - o[0]) + n0[1] * (p0[1] - o[1])
+                   + n0[2] * (p0[2] - o[2]))
+            # flipped normal flips both numerator and denominator -> t
+            # identical; guard the denominator for grazing lanes
+            t = num / jnp.where(grazing, 1.0, ndotd)
+            p = _vadd(o, _vscale(t, d))
+            m = _vsub(p, p0)
+            if cat == 0:
+                inv_e1 = 1.0 / jnp.maximum(
+                    e1[0] * e1[0] + e1[1] * e1[1] + e1[2] * e1[2], 1e-12)
+                inv_e2 = 1.0 / jnp.maximum(
+                    e2[0] * e2[0] + e2[1] * e2[1] + e2[2] * e2[2], 1e-12)
+                u = _vdot(m, e1) * inv_e1
+                v = _vdot(m, e2) * inv_e2
+                inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+            else:  # triangle: Moller-Trumbore u, v (scalar e1/e2 broadcast)
+                pvec = _vcross(d, e2)
+                det = _vdot(e1, pvec)
+                degenerate = jnp.abs(det) < 1e-9
+                inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+                tvec = _vsub(o, p0)
+                u = _vdot(tvec, pvec) * inv_det
+                qvec = _vcross(tvec, e1)
+                v = _vdot(d, qvec) * inv_det
+                inside = (~degenerate) & (u >= 0.0) & (v >= 0.0) & \
+                    (u + v <= 1.0)
+            valid = (not_excluded & ~grazing & inside
+                     & (t >= T_MIN) & (t <= state["t"]))
+            sgn = jnp.where(flip, -1.0, 1.0)
+            n_eff = (sgn * n0[0], sgn * n0[1], sgn * n0[2])
+        else:  # sphere
+            cx = (prims_ref[i, 0], prims_ref[i, 1], prims_ref[i, 2])
+            radius = prims_ref[i, 3]
+            co = _vsub(o, cx)
+            a = d_dot_d
+            b = 2.0 * _vdot(d, co)
+            c2 = _vdot(co, co) - radius * radius
+            disc = b * b - 4.0 * a * c2
+            has_root = disc > 0.0
+            sq = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+            denom = jnp.where(a > 1e-12, 2.0 * a, 1.0)
+            t_near = (-b - sq) / denom
+            t_far = (-b + sq) / denom
+            near_ok = (t_near >= T_MIN) & (t_near <= state["t"])
+            t = jnp.where(near_ok, t_near, t_far)
+            valid = (not_excluded & has_root & (a > 1e-12)
+                     & (t >= T_MIN) & (t <= state["t"]))
+            p = _vadd(o, _vscale(t, d))
+            n_eff = _vnormalize(_vsub(p, cx))
+        state = {
+            "t": jnp.where(valid, t, state["t"]),
+            "idx": jnp.where(valid, i, state["idx"]),
+            "pos": _vwhere(valid, p, state["pos"]),
+            "nrm": _vwhere(valid, n_eff, state["nrm"]),
+        }
+    state["hit"] = state["idx"] >= 0
+    return state
+
+
+def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
+                  tile_m: int = DEFAULT_TILE_M, interpret: bool = False):
+    """Build the forward megakernel for a fixed scene structure.
+
+    Returns f(prims_f (P,12) f32, rays (6,M,128), seeds (4,M,128) u32,
+    spect (S*4, M, 128)) -> radiance (4, M, 128).
+    """
+    n_prims = len(static.categories)
+    S = static.n_spectra
+    n_lights = len(static.light_rows)
+    shape = (tile_m, LANES)
+
+    def spectrum_planes(spect_ref, row: int):
+        return tuple(spect_ref[row * 4 + j, :, :] for j in range(4))
+
+    def light_pdf(prims_ref, l_row, n_at_light, ray_dir, l_pos, r_origin):
+        """compute_light_pdf (wgsl:357-377) for a static light row."""
+        e1 = (prims_ref[l_row, 3], prims_ref[l_row, 4], prims_ref[l_row, 5])
+        e2 = (prims_ref[l_row, 6], prims_ref[l_row, 7], prims_ref[l_row, 8])
+        area = jnp.sqrt(jnp.maximum(
+            e1[0] ** 2 + e1[1] ** 2 + e1[2] ** 2, 1e-30)) * jnp.sqrt(
+            jnp.maximum(e2[0] ** 2 + e2[1] ** 2 + e2[2] ** 2, 1e-30))
+        abs_cos = jnp.maximum(1e-5, jnp.abs(-_vdot(n_at_light, ray_dir)))
+        diff = _vsub(l_pos, r_origin)
+        dist2 = _vdot(diff, diff)
+        geo = abs_cos / jnp.maximum(dist2, 1e-12)
+        pdf = (1.0 / jnp.maximum(area, 1e-12)) / geo / float(n_lights)
+        return jnp.clip(pdf, 0.0, 1e16)
+
+    def power_heuristic(f, g):
+        r = g / jnp.maximum(f, 1e-12)
+        return 1.0 / (1.0 + r * r)
+
+    def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, out_ref):
+        o = (rays_ref[0, :, :], rays_ref[1, :, :], rays_ref[2, :, :])
+        d = (rays_ref[3, :, :], rays_ref[4, :, :], rays_ref[5, :, :])
+        seed = tuple(seeds_ref[k, :, :] for k in range(4))
+
+        zero = jnp.zeros(shape, jnp.float32)
+        one = jnp.ones(shape, jnp.float32)
+        L = (zero, zero, zero, zero)
+        beta = (one, one, one, one)
+        last_pdf = one
+        eta_scale = one
+        exclude = jnp.full(shape, -1, jnp.int32)
+        specular = jnp.zeros(shape, bool)
+        in_trans = jnp.zeros(shape, bool)
+        active = jnp.ones(shape, bool)
+
+        # static per-prim spectral bindings
+        emis_planes = [spectrum_planes(spect_ref, static.emission_idx[i])
+                       for i in range(n_prims)]
+        refl_planes = [spectrum_planes(spect_ref, static.reflectance_idx[i])
+                       for i in range(n_prims)]
+        ext_planes = spectrum_planes(spect_ref, S - 1)
+
+        carry = (seed, o, d, L, beta, last_pdf, eta_scale, exclude,
+                 specular, in_trans, active)
+
+        def body(depth, carry):
+            (seed, o, d, L, beta, last_pdf, eta_scale, exclude, specular,
+             in_trans, active) = carry
+
+            hit = _scan_primitives(static, prims_ref, o, d, exclude, shape)
+            lane_hit = active & hit["hit"]
+            active = lane_hit
+            exclude = jnp.where(lane_hit, hit["idx"], exclude)
+            idx = hit["idx"]
+
+            # material mask from static table
+            mat_light = jnp.zeros(shape, bool)
+            mat_diffuse = jnp.zeros(shape, bool)
+            mat_glass = jnp.zeros(shape, bool)
+            mat_mirror = jnp.zeros(shape, bool)
+            for i, m in enumerate(static.materials):
+                sel = idx == i
+                if m == C.LIGHT:
+                    mat_light = mat_light | sel
+                elif m == C.DIFFUSE:
+                    mat_diffuse = mat_diffuse | sel
+                elif m == C.GLASS:
+                    mat_glass = mat_glass | sel
+                elif m == C.MIRROR:
+                    mat_mirror = mat_mirror | sel
+
+            # ---- emissive hit (wgsl:149-164)
+            is_light = lane_hit & mat_light
+            le = [jnp.zeros(shape, jnp.float32)] * 4
+            for i in range(n_prims):
+                if static.materials[i] == C.LIGHT:
+                    sel = idx == i
+                    le = [jnp.where(sel, emis_planes[i][j], le[j])
+                          for j in range(4)]
+            pdf_l_hit = jnp.zeros(shape, jnp.float32)
+            for lr in static.light_rows:
+                sel = idx == lr
+                pdf_l_hit = jnp.where(
+                    sel, light_pdf(prims_ref, lr, hit["nrm"], d,
+                                   hit["pos"], o), pdf_l_hit)
+            weight_b = power_heuristic(last_pdf, pdf_l_hit)
+            mis_w = jnp.where((depth == 0) | specular, 1.0, weight_b)
+            add = is_light
+            L = tuple(L[j] + jnp.where(add, beta[j] * le[j] * mis_w, 0.0)
+                      for j in range(4))
+            active = active & ~is_light
+
+            scatter = active & (depth < max_depth)
+            active = scatter
+
+            # ---- Beer-Lambert (wgsl:173-179)
+            diffp = _vsub(hit["pos"], o)
+            dsq = _vdot(diffp, diffp)
+            dist = jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)) * (dsq > 0)
+            bl = scatter & in_trans
+            beta = tuple(jnp.where(
+                bl, beta[j] * jnp.exp(-ext_planes[j] * dist), beta[j])
+                for j in range(4))
+
+            is_diffuse = scatter & mat_diffuse
+            is_glass = scatter & mat_glass
+            is_mirror = scatter & mat_mirror
+
+            # ---- DIFFUSE: NEE + cosine bounce (5 draws)
+            u_l, seed = _rand_masked(seed, is_diffuse)
+            u_p, seed = _rand_masked(seed, is_diffuse)
+            v_p, seed = _rand_masked(seed, is_diffuse)
+            u_h, seed = _rand_masked(seed, is_diffuse)
+            v_h, seed = _rand_masked(seed, is_diffuse)
+
+            brdf = [jnp.zeros(shape, jnp.float32)] * 4
+            for i in range(n_prims):
+                if static.materials[i] == C.DIFFUSE:
+                    sel = idx == i
+                    brdf = [jnp.where(sel, refl_planes[i][j], brdf[j])
+                            for j in range(4)]
+            inv_pi = jnp.float32(1.0 / math.pi)
+            brdf = [b * inv_pi for b in brdf]
+
+            # light selection (uniform over static rows)
+            li = jnp.clip((u_l * float(n_lights)).astype(jnp.int32), 0,
+                          n_lights - 1)
+            nee = [jnp.zeros(shape, jnp.float32)] * 4
+            for l_i, lr in enumerate(static.light_rows):
+                lsel = is_diffuse & (li == l_i)
+                l_o = (prims_ref[lr, 0], prims_ref[lr, 1], prims_ref[lr, 2])
+                l_e1 = (prims_ref[lr, 3], prims_ref[lr, 4], prims_ref[lr, 5])
+                l_e2 = (prims_ref[lr, 6], prims_ref[lr, 7], prims_ref[lr, 8])
+                p_l = (l_o[0] + u_p * l_e1[0] + v_p * l_e2[0],
+                       l_o[1] + u_p * l_e1[1] + v_p * l_e2[1],
+                       l_o[2] + u_p * l_e1[2] + v_p * l_e2[2])
+                ldir = _vnormalize(_vsub(p_l, hit["pos"]))
+                sh = _scan_primitives(static, prims_ref, hit["pos"], ldir,
+                                      hit["idx"], shape)
+                unocc = sh["hit"] & (sh["idx"] == lr)
+                cos_t = jnp.maximum(0.0, _vdot(hit["nrm"], ldir))
+                pdf_l = light_pdf(prims_ref, lr, sh["nrm"], ldir,
+                                  sh["pos"], hit["pos"])
+                pdf_b = cos_t * inv_pi
+                w_l = power_heuristic(pdf_l, pdf_b)
+                scale = jnp.where(lsel & unocc,
+                                  cos_t * w_l / jnp.maximum(pdf_l, 1e-12),
+                                  0.0)
+                l_emis = spectrum_planes(
+                    spect_ref, static.emission_idx[lr])
+                nee = [nee[j] + l_emis[j] * scale for j in range(4)]
+            L = tuple(L[j] + brdf[j] * nee[j] * beta[j] for j in range(4))
+
+            # cosine hemisphere (wgsl:751-774)
+            r_h = jnp.sqrt(jnp.maximum(u_h, 0.0))
+            th = jnp.float32(2.0 * math.pi) * v_h
+            xh = r_h * jnp.cos(th)
+            yh = r_h * jnp.sin(th)
+            zh = jnp.sqrt(jnp.maximum(0.0, 1.0 - u_h))
+            n = hit["nrm"]
+            z_minor = jnp.abs(n[2]) < 0.999
+            upx = jnp.where(z_minor, 0.0, 1.0)
+            upz = jnp.where(z_minor, 1.0, 0.0)
+            up = (upx, jnp.zeros(shape, jnp.float32), upz)
+            tangent = _vnormalize(_vcross(up, n))
+            bitangent = _vcross(n, tangent)
+            bounce = (tangent[0] * xh + bitangent[0] * yh + n[0] * zh,
+                      tangent[1] * xh + bitangent[1] * yh + n[1] * zh,
+                      tangent[2] * xh + bitangent[2] * yh + n[2] * zh)
+            bounce_pdf = zh * inv_pi
+            cos_b = jnp.abs(_vdot(n, bounce))
+            bfac = cos_b / jnp.maximum(bounce_pdf, 1e-12)
+            beta_diffuse = tuple(beta[j] * brdf[j] * bfac for j in range(4))
+
+            # ---- GLASS (1 draw)
+            u_g, seed = _rand_masked(seed, is_glass)
+            cos_in = _vdot(n, d)
+            # fresnel_s (wgsl:814-837)
+            cosi = jnp.clip(cos_in, -1.0, 1.0)
+            fe = jnp.where(cosi > 0.0, ETA2 / ETA1, ETA1 / ETA2)
+            sint2 = fe * fe * (1.0 - cosi * cosi)
+            tir = sint2 > 1.0
+            cost = jnp.sqrt(jnp.where(tir, 1.0, 1.0 - sint2))
+            ci = jnp.abs(cosi)
+            rs = (ETA1 * ci - ETA2 * cost) / (ETA1 * ci + ETA2 * cost)
+            rp = (ETA2 * ci - ETA1 * cost) / (ETA2 * ci + ETA1 * cost)
+            reflectance = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+            eta = jnp.where(cos_in > 0.0, ETA2 / ETA1, ETA1 / ETA2)
+            flip_n = cos_in > 0.0
+            ng = _vwhere(flip_n, _vscale(-one, n), n)
+            # reflect
+            nd2 = 2.0 * _vdot(ng, d)
+            refl_dir = _vsub(d, _vscale(nd2, ng))
+            # refract (WGSL semantics; 0 on TIR)
+            ndoti = _vdot(ng, d)
+            kk = 1.0 - eta * eta * (1.0 - ndoti * ndoti)
+            ktir = kk < 0.0
+            sqk = jnp.sqrt(jnp.where(ktir, 1.0, kk))
+            rft = _vsub(_vscale(eta, d), _vscale(eta * ndoti + sqk, ng))
+            rft = _vwhere(ktir, (zero, zero, zero), rft)
+            refr_dir = _vnormalize(rft)
+            pr = reflectance
+            choose_refl = u_g < pr / jnp.maximum(pr + (1.0 - pr), 1e-12)
+            glass_dir = _vwhere(choose_refl, refl_dir, refr_dir)
+            eta2v = eta * eta
+            beta_glass = tuple(jnp.where(choose_refl, beta[j],
+                                         beta[j] * eta2v) for j in range(4))
+            eta_scale_glass = jnp.where(choose_refl, eta_scale,
+                                        eta_scale / eta2v)
+            in_trans_glass = jnp.where(choose_refl, in_trans, ~in_trans)
+
+            # ---- MIRROR
+            nd2m = 2.0 * _vdot(n, d)
+            mirror_dir = _vsub(d, _vscale(nd2m, n))
+
+            # ---- merge
+            o = _vwhere(scatter, hit["pos"], o)
+            d = _vwhere(is_diffuse, bounce,
+                        _vwhere(is_glass, glass_dir,
+                                _vwhere(is_mirror, mirror_dir, d)))
+            beta = tuple(jnp.where(is_diffuse, beta_diffuse[j],
+                                   jnp.where(is_glass, beta_glass[j],
+                                             beta[j])) for j in range(4))
+            last_pdf = jnp.where(is_diffuse, bounce_pdf, last_pdf)
+            specular = jnp.where(is_diffuse, False,
+                                 jnp.where(is_glass | is_mirror, True,
+                                           specular))
+            exclude = jnp.where(is_glass | is_mirror, -1, exclude)
+            eta_scale = jnp.where(is_glass, eta_scale_glass, eta_scale)
+            in_trans = jnp.where(is_glass, in_trans_glass, in_trans)
+
+            # ---- Russian roulette (wgsl:279-289)
+            r0 = beta[0] * eta_scale
+            r1 = beta[1] * eta_scale
+            r2 = beta[2] * eta_scale
+            max_c = jnp.maximum(r0, jnp.maximum(r1, r2))
+            rr = active & (depth > rr_start) & (max_c < 1.0)
+            u_r, seed = _rand_masked(seed, rr)
+            q = jnp.maximum(0.0, 1.0 - max_c)
+            killed = rr & (u_r < q)
+            active = active & ~killed
+            surv = rr & ~killed
+            inv1q = 1.0 / jnp.maximum(1.0 - q, 1e-12)
+            beta = tuple(jnp.where(surv, beta[j] * inv1q, beta[j])
+                         for j in range(4))
+
+            return (seed, o, d, L, beta, last_pdf, eta_scale, exclude,
+                    specular, in_trans, active)
+
+        carry = jax.lax.fori_loop(0, max_depth + 1, body, carry)
+        L = carry[3]
+        for j in range(4):
+            out_ref[j, :, :] = L[j]
+
+    @jax.jit
+    def forward(prims_f, rays, seeds, spect):
+        m = rays.shape[1]
+        grid = (m // tile_m,)
+        s4 = S * 4
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((6, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s4, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4, m, LANES), jnp.float32),
+            interpret=interpret,
+        )(prims_f, rays, seeds, spect)
+
+    return forward
+
+
+def pack_prims(scene) -> jnp.ndarray:
+    """(P, 12) f32: [origin/center xyz, edge1/radius xyz, edge2 xyz, pad].
+
+    Sphere rows put the radius at column 3 (edge1.x), matching the
+    reference's (r, r, r) packing of data2 (main.js:239)."""
+    p = scene.primitives
+    return jnp.concatenate(
+        [p.data1, p.data2, p.data3, jnp.zeros_like(p.data1)], axis=-1)

@@ -71,12 +71,26 @@ class Scene(NamedTuple):
         return self.spectra.shape[0]
 
 
-def build_primitives(patches, spheres, triangles=None) -> ScenePrimitives:
+def as_jax(scene: Scene) -> Scene:
+    """Convert NumPy leaves to jnp (no-op for tracers/arrays).
+
+    Loaders produce NumPy leaves so scene construction never touches the
+    device; tracers call this at entry so mixed np/traced pytrees index
+    cleanly."""
+    import jax
+
+    return jax.tree_util.tree_map(jnp.asarray, scene)
+
+
+def build_primitives(patches, spheres, triangles=None,
+                     mesh_parts=None) -> ScenePrimitives:
     """Flatten typed primitive lists into one tagged SoA list.
 
     Mirrors the reference's flattening (main.js:114-137): patches first,
     then spheres (then triangles — extension), with a stable global index.
     Each entry: dict with geometry + emission/reflectance/material ints.
+    mesh_parts: optional list of SoA column dicts (scene.mesh.mesh_arrays)
+    appended wholesale — the vectorized path for large meshes.
     """
     cats, d1, d2, d3, emi, ref, mat = [], [], [], [], [], [], []
     for p in patches:
@@ -95,19 +109,24 @@ def build_primitives(patches, spheres, triangles=None) -> ScenePrimitives:
         d2.append(np.asarray(t["v1"], np.float32) - v0)
         d3.append(np.asarray(t["v2"], np.float32) - v0)
         emi.append(t["emission"]); ref.append(t["reflectance"]); mat.append(t["material"])
-    n = len(cats)
+    cols = dict(
+        category=np.asarray(cats, np.int32).reshape(-1),
+        data1=np.asarray(d1, np.float32).reshape(-1, 3),
+        data2=np.asarray(d2, np.float32).reshape(-1, 3),
+        data3=np.asarray(d3, np.float32).reshape(-1, 3),
+        emission=np.asarray(emi, np.int32).reshape(-1),
+        reflectance=np.asarray(ref, np.int32).reshape(-1),
+        material=np.asarray(mat, np.int32).reshape(-1),
+    )
+    for part in (mesh_parts or []):
+        cols = {k: np.concatenate([cols[k], np.asarray(part[k])])
+                for k in cols}
+    n = len(cols["category"])
     if n == 0:
         raise ValueError("scene has no primitives")
-    return ScenePrimitives(
-        category=jnp.asarray(np.asarray(cats, np.int32)),
-        data1=jnp.asarray(np.asarray(d1, np.float32)),
-        data2=jnp.asarray(np.asarray(d2, np.float32)),
-        data3=jnp.asarray(np.asarray(d3, np.float32)),
-        emission=jnp.asarray(np.asarray(emi, np.int32)),
-        reflectance=jnp.asarray(np.asarray(ref, np.int32)),
-        material=jnp.asarray(np.asarray(mat, np.int32)),
-        index=jnp.arange(n, dtype=jnp.int32),
-    )
+    # NumPy leaves: scene construction must not touch the device (the
+    # loader runs host-side; jnp conversion happens lazily on first use)
+    return ScenePrimitives(index=np.arange(n, dtype=np.int32), **cols)
 
 
 def extract_lights(prims: ScenePrimitives, light_material: int = 1) -> SceneLights:
@@ -120,6 +139,6 @@ def extract_lights(prims: ScenePrimitives, light_material: int = 1) -> SceneLigh
     if not np.all(cat[sel] == 0):
         raise ValueError("only planar-patch lights are supported")
     return SceneLights(
-        prim_index=jnp.asarray(sel.astype(np.int32)),
-        emission=jnp.asarray(np.asarray(prims.emission)[sel]),
+        prim_index=sel.astype(np.int32),
+        emission=np.asarray(prims.emission)[sel],
     )

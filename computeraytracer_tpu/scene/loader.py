@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from computeraytracer_tpu import config as C
 from computeraytracer_tpu.ops import spectrum as spec_ops
 from computeraytracer_tpu.scene import data as sd
+from computeraytracer_tpu.scene import mesh as mesh_ops
 
 _MATERIALS = {"diffuse": C.DIFFUSE, "light": C.LIGHT, "glass": C.GLASS,
               "mirror": C.MIRROR}
@@ -68,34 +69,34 @@ def scene_from_dict(doc: dict, cie: Optional[np.ndarray] = None) -> tuple:
         dict(center=s["center"], radius=s["radius"], **prim_common(s))
         for s in objects.get("spheres", [])
     ]
-    triangles = []
-    for mesh in objects.get("meshes", []):
-        verts = np.asarray(mesh["vertices"], np.float32)
-        faces = np.asarray(mesh["faces"], np.int32)
-        common = prim_common(mesh)
-        for f in faces:
-            triangles.append(dict(v0=verts[f[0]], v1=verts[f[1]],
-                                  v2=verts[f[2]], **common))
+    mesh_parts = []
+    for m in objects.get("meshes", []):
+        common = prim_common(m)
+        mesh_parts.append(mesh_ops.mesh_arrays(
+            m["vertices"], m["faces"], reflectance=common["reflectance"],
+            emission=common["emission"], material=common["material"]))
 
-    prims = sd.build_primitives(patches, spheres, triangles)
+    prims = sd.build_primitives(patches, spheres, mesh_parts=mesh_parts)
     lights = sd.extract_lights(prims, C.LIGHT)
 
     cam = doc["camera"]
     camera = sd.CameraSpec(
-        eye=jnp.asarray(cam["eye"], jnp.float32),
-        lookat=jnp.asarray(cam["lookat"], jnp.float32),
-        up=jnp.asarray(cam["up"], jnp.float32),
-        fov=jnp.asarray(cam["focalLength"], jnp.float32),
+        eye=np.asarray(cam["eye"], np.float32),
+        lookat=np.asarray(cam["lookat"], np.float32),
+        up=np.asarray(cam["up"], np.float32),
+        fov=np.float32(cam["focalLength"]),
     )
 
     if cie is None:
         cie = spec_ops.cie_1931_tables()
+    # NumPy leaves throughout: no device transfer at load time; jax
+    # converts on first use inside jit
     scene = sd.Scene(
         primitives=prims,
         lights=lights,
         camera=camera,
-        spectra=jnp.asarray(spectra),
-        cie=jnp.asarray(np.asarray(cie, np.float32)),
+        spectra=np.asarray(spectra, np.float32),
+        cie=np.asarray(cie, np.float32),
     )
     meta = {
         "width": int(cam["width"]),

@@ -165,6 +165,28 @@ def unoccluded_scene(width: int = 256, height: int = 256) -> dict:
     return doc
 
 
+def mesh_scene(width: int = 1024, height: int = 1024,
+               subdivisions: int = 6) -> dict:
+    """BASELINE config-3 style scene: Cornell walls + a ~70K-triangle
+    procedural blob (the bunny stand-in; scene/mesh.py) on the floor.
+
+    subdivisions=6 -> 81,920 triangles; 4 -> 5,120 (test-sized)."""
+    from computeraytracer_tpu.scene import mesh as mesh_ops
+
+    doc = cornell_box(width, height)
+    doc["objects"]["spheres"] = []
+    # drop the boxes; keep walls + light (first 6 patches)
+    doc["objects"]["patches"] = doc["objects"]["patches"][:6]
+    verts, faces = mesh_ops.displaced_blob(subdivisions)
+    verts = mesh_ops.transform(verts, scale=140.0,
+                               translate=(278.0, 180.0, 280.0))
+    doc["objects"]["meshes"] = [{
+        "vertices": verts.tolist(), "faces": faces.tolist(),
+        "emission": "dark", "reflectance": "white", "type": "diffuse",
+    }]
+    return doc
+
+
 def cornell_box_glassless(width: int = 512, height: int = 512) -> dict:
     """Cornell variant without glass (pure-diffuse estimator tests)."""
     doc = cornell_box(width, height)

@@ -1,0 +1,151 @@
+"""Pallas-megakernel tracer with the same API as tracer/xla.py.
+
+Forward runs kernels/megakernel.py (one fused TPU kernel per ray tile);
+camera ray-gen, hero-wavelength sampling, the per-ray spectra table, and
+the CIE conversion stay in XLA where they fuse for free and cost one
+pass over HBM.
+
+The kernel is specialized on the non-differentiable scene STRUCTURE
+(kernels/megakernel.py SceneStatic) — like XLA specializes on shapes.
+Entry points compute it eagerly from a concrete scene; when calling from
+inside your own jit, pass `static=SceneStatic.from_scene(scene)`
+computed outside.
+
+Differentiation: custom_vjp whose backward recomputes the trace with the
+XLA tracer and transposes it (identical pcg4d streams -> identical
+sampling decisions, so the vjp is exact for the same estimate). A
+hand-derived Pallas backward kernel replaces this on the optimization
+fast path in a later milestone.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from computeraytracer_tpu.ops import camera as cam_ops
+from computeraytracer_tpu.ops import rng
+from computeraytracer_tpu.ops import spectrum as spec
+from computeraytracer_tpu.kernels import megakernel as mk
+from computeraytracer_tpu.scene import data as scene_data
+from computeraytracer_tpu.tracer import xla as xla_tracer
+
+LANES = mk.LANES
+SceneStatic = mk.SceneStatic
+
+
+@functools.lru_cache(maxsize=64)
+def _forward_cached(static, max_depth, rr_start, tile_m, interpret):
+    return mk.build_forward(static, max_depth, rr_start, tile_m, interpret)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
+                   rr_start: int = 1, tile_m: int = mk.DEFAULT_TILE_M,
+                   static: SceneStatic | None = None):
+    """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance."""
+    if static is None:
+        static = SceneStatic.from_scene(scene)
+    r = o.shape[0]
+    tile = tile_m * LANES
+    r_pad = ((r + tile - 1) // tile) * tile
+    m = r_pad // LANES
+
+    def to_planes(x, dtype):
+        # (R, k) -> (k, M, 128), zero-padded
+        k = x.shape[1]
+        xt = jnp.zeros((k, r_pad), dtype).at[:, :r].set(x.T.astype(dtype))
+        return xt.reshape(k, m, LANES)
+
+    rays = to_planes(jnp.concatenate([o, d], axis=-1), jnp.float32)
+    seeds = to_planes(seed, jnp.uint32)
+    # per-ray table of every spectrum at the ray's 4 wavelengths
+    spect = scene.spectra[:, lambdas]          # (S, R, 4)
+    s_n = spect.shape[0]
+    spect = jnp.moveaxis(spect, -1, 1).reshape(s_n * 4, r)  # (S*4, R)
+    spect_p = jnp.zeros((s_n * 4, r_pad), jnp.float32).at[:, :r].set(spect)
+    spect_p = spect_p.reshape(s_n * 4, m, LANES)
+
+    fwd = _forward_cached(static, int(max_depth), int(rr_start), tile_m,
+                          _use_interpret())
+    out = fwd(mk.pack_prims(scene), rays, seeds, spect_p)  # (4, M, 128)
+    return out.reshape(4, r_pad)[:, :r].T  # (R, 4)
+
+
+def render_pixels(scene, width: int, height: int, px, py, sample,
+                  max_depth: int = 8, rr_start: int = 1,
+                  static: SceneStatic | None = None):
+    """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
+
+    Differentiable w.r.t. scene arrays via a recompute-vjp through the
+    XLA tracer (same RNG streams).
+    """
+    if static is None:
+        static = SceneStatic.from_scene(scene)
+    scene = scene_data.as_jax(scene)
+    sample_u = jnp.asarray(sample, jnp.uint32)
+
+    @jax.custom_vjp
+    def run(scene, sample_u):
+        seed = rng.seed_pixel(px, py, sample_u)
+        o, d, seed = cam_ops.camera_rays(
+            scene.camera.eye, scene.camera.lookat, scene.camera.up,
+            scene.camera.fov, width, height, px, py, sample_u, seed)
+        lambdas, seed = spec.sample_wavelengths(seed)
+        radiance = trace_radiance(scene, o, d, lambdas, seed, max_depth,
+                                  rr_start, static=static)
+        return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
+
+    def run_fwd(scene, sample_u):
+        return run(scene, sample_u), (scene, sample_u)
+
+    def run_bwd(res, g):
+        scene_res, sample_res = res
+        _, vjp = jax.vjp(
+            lambda s: xla_tracer.render_pixels(
+                s, width, height, px, py, sample_res, max_depth, rr_start),
+            scene_res)
+        (d_scene,) = vjp(g)
+        d_sample = np.zeros(np.shape(sample_res), dtype=jax.dtypes.float0)
+        return d_scene, d_sample
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(scene, sample_u)
+
+
+def render_sample(scene, width: int, height: int, sample,
+                  max_depth: int = 8, rr_start: int = 1,
+                  static: SceneStatic | None = None, **_):
+    px, py = xla_tracer.tile_coords(width, height, 0)
+    xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
+                        rr_start, static=static)
+    return xyz.reshape(height, width, 3)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "static", "width", "height", "spp", "max_depth", "rr_start",
+    "first_sample"))
+def _render_accumulate_jit(scene, static, width, height, spp, max_depth,
+                           rr_start, first_sample):
+    def body(accum, s):
+        return accum + render_sample(scene, width, height, s, max_depth,
+                                     rr_start, static=static), None
+
+    accum0 = jnp.zeros((height, width, 3), jnp.float32)
+    samples = jnp.arange(first_sample, first_sample + spp, dtype=jnp.uint32)
+    accum, _ = jax.lax.scan(body, accum0, samples)
+    return accum
+
+
+def render_accumulate(scene, width: int, height: int, spp: int,
+                      max_depth: int = 8, rr_start: int = 1,
+                      first_sample: int = 1):
+    static = SceneStatic.from_scene(scene)
+    return _render_accumulate_jit(scene, static, width, height, spp,
+                                  max_depth, rr_start, first_sample)

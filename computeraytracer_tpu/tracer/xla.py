@@ -83,7 +83,8 @@ def init_state(o, d, seed) -> PathState:
     )
 
 
-def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p):
+def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p,
+         isect_fn):
     """Next-event estimation (wgsl:379-408). Returns the MIS-weighted
     radiance contribution (R, 4) for diffuse lanes."""
     prims = scene.primitives
@@ -95,7 +96,7 @@ def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p):
     l_edge2 = prims.data3[l_prim]
     p_on_light = sampling.point_on_light(l_origin, l_edge1, l_edge2, u_p, v_p)
     ldir = _safe_normalize(p_on_light - hit.position)
-    shadow = isect.intersect_brute(hit.position, ldir, hit.index, prims)
+    shadow = isect_fn(hit.position, ldir, hit.index)
     unoccluded = shadow.hit & (shadow.index == l_prim)
 
     cos_theta = jnp.maximum(0.0, _dot(hit.normal, ldir))
@@ -111,16 +112,29 @@ def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p):
     return jnp.where(take, brdf * contrib * beta, 0.0)
 
 
+def make_intersector(scene, bvh=None):
+    """Closest-hit closure: brute linear scan, or BVH when provided."""
+    if bvh is None:
+        return lambda o, d, exclude: isect.intersect_brute(
+            o, d, exclude, scene.primitives)
+    from computeraytracer_tpu.bvh import traverse as bvh_traverse
+    return lambda o, d, exclude: bvh_traverse.intersect_bvh(
+        o, d, exclude, scene.primitives, bvh)
+
+
 def trace_step(scene, lambdas, state: PathState, depth: int,
-               max_depth: int, rr_start: int) -> PathState:
+               max_depth: int, rr_start: int,
+               isect_fn=None) -> PathState:
     """One bounce of the path-trace loop (wgsl:133-293) over all lanes."""
     prims = scene.primitives
+    if isect_fn is None:
+        isect_fn = make_intersector(scene)
     seed = state.seed
     o, d = state.ray_o, state.ray_d
     beta, radiance = state.beta, state.radiance
     active = state.active
 
-    hit = isect.intersect_brute(o, d, state.exclude, prims)
+    hit = isect_fn(o, d, state.exclude)
     lane_hit = active & hit.hit
     active = active & hit.hit  # miss -> break (wgsl:141-144)
     exclude = jnp.where(lane_hit, hit.index, state.exclude)
@@ -164,7 +178,7 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
     brdf = spec.sample_spectrum(scene.spectra, hit.reflectance,
                                 lambdas) / jnp.pi
     radiance = radiance + _nee(scene, hit, brdf, lambdas, beta, is_diffuse,
-                               u_l, u_p, v_p)
+                               u_l, u_p, v_p, isect_fn)
     bounce_dir, bounce_pdf = sampling.cosine_hemisphere(hit.normal, u_h, v_h)
     cos_b = jnp.abs(_dot(hit.normal, bounce_dir))
     beta_diffuse = beta * brdf * (
@@ -226,7 +240,7 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
 
 
 def path_trace(scene, o, d, lambdas, seed, max_depth: int,
-               rr_start: int = 1, use_remat: bool = True):
+               rr_start: int = 1, use_remat: bool = True, bvh=None):
     """Trace rays to completion. Returns (radiance (R, 4), final seed).
 
     Runs max_depth+1 iterations: iteration i scatters only while
@@ -234,10 +248,11 @@ def path_trace(scene, o, d, lambdas, seed, max_depth: int,
     reference's depth-cap placement (wgsl:149-170).
     """
     state = init_state(o, d, seed)
+    isect_fn = make_intersector(scene, bvh)
 
     def body(state, depth):
         new_state = trace_step(scene, lambdas, state, depth, max_depth,
-                               rr_start)
+                               rr_start, isect_fn)
         return new_state, None
 
     if use_remat:
@@ -248,13 +263,17 @@ def path_trace(scene, o, d, lambdas, seed, max_depth: int,
 
 def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
-                  use_remat: bool = True):
+                  use_remat: bool = True, bvh=None):
     """Trace one sample for explicit pixel coordinates px, py (R,).
 
     Seeds derive from GLOBAL pixel coordinates and the 1-based sample
     counter (wgsl:98), so any tiling/sharding of the film plane produces
     bit-identical results to a single-device render. Returns XYZ (R, 3).
     """
+    from computeraytracer_tpu.scene import data as scene_data
+    scene = scene_data.as_jax(scene)
+    if bvh is not None:
+        bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     sample_u = jnp.asarray(sample, jnp.uint32)
     seed = rng.seed_pixel(px, py, sample_u)
     o, d, seed = cam_ops.camera_rays(
@@ -262,7 +281,7 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
         scene.camera.fov, width, height, px, py, sample_u, seed)
     lambdas, seed = spec.sample_wavelengths(seed)
     radiance, _ = path_trace(scene, o, d, lambdas, seed, max_depth,
-                             rr_start, use_remat)
+                             rr_start, use_remat, bvh=bvh)
     return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
 
 
@@ -277,7 +296,7 @@ def tile_coords(width: int, tile_h: int, y0):
 
 def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
-                  use_remat: bool = True):
+                  use_remat: bool = True, bvh=None):
     """One progressive sample: XYZ contribution image (H, W, 3).
 
     `sample` is the 1-based sample counter (wgsl main :77-117). The
@@ -285,7 +304,7 @@ def render_sample(scene, width: int, height: int, sample,
     """
     px, py = tile_coords(width, height, 0)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
-                        rr_start, use_remat)
+                        rr_start, use_remat, bvh=bvh)
     return xyz.reshape(height, width, 3)
 
 
@@ -293,13 +312,14 @@ def render_sample(scene, width: int, height: int, sample,
                                    "rr_start", "first_sample"))
 def render_accumulate(scene, width: int, height: int, spp: int,
                       max_depth: int = 8, rr_start: int = 1,
-                      first_sample: int = 1):
+                      first_sample: int = 1, bvh=None):
     """Accumulate spp progressive samples; returns summed XYZ (H, W, 3).
 
     The sample counter advances exactly like the reference's
     UpdateVariables pass (1-based, incremented before each trace)."""
     def body(accum, s):
-        xyz = render_sample(scene, width, height, s, max_depth, rr_start)
+        xyz = render_sample(scene, width, height, s, max_depth, rr_start,
+                            bvh=bvh)
         return accum + xyz, None
 
     accum0 = jnp.zeros((height, width, 3), jnp.float32)

@@ -102,7 +102,7 @@ def test_optimize_reduces_loss(simple_scene):
     w = h = 12
     target = opt.render_mean_xyz(simple_scene, w, h, spp=2, max_depth=3)
     perturbed = simple_scene._replace(
-        spectra=simple_scene.spectra.at[2].mul(0.3))  # dim the red albedo
+        spectra=jnp.asarray(simple_scene.spectra).at[2].mul(0.3))  # dim red
     _, losses = opt.optimize(perturbed, target, w, h, steps=8,
                              learning_rate=0.05, spp=2, max_depth=3)
     assert losses[-1] < losses[0] * 0.8, losses

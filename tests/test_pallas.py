@@ -1,0 +1,67 @@
+"""Pallas megakernel vs the XLA tracer: same estimator, same RNG.
+
+The megakernel consumes the identical pcg4d draw stream as tracer/xla.py
+(kernels/megakernel.py mirrors ops/rng.py on u32 vectors), so per-pixel
+XYZ must agree to f32 rounding. On CPU the kernel runs in interpret
+mode (tracer/pallas.py:_use_interpret)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from computeraytracer_tpu.tracer import pallas as pallas_tracer
+from computeraytracer_tpu.tracer import xla as xla_tracer
+
+
+def _compare(scene, w, h, sample, max_depth, tol=1e-4):
+    want = np.asarray(
+        xla_tracer.render_sample(scene, w, h, sample, max_depth=max_depth))
+    got = np.asarray(
+        pallas_tracer.render_sample(scene, w, h, sample, max_depth=max_depth))
+    assert got.shape == want.shape
+    assert np.isfinite(got).all()
+    denom = np.maximum(np.abs(want), 1e-2)
+    rel = np.abs(got - want) / denom
+    frac = (rel < tol).all(axis=-1).mean()
+    assert frac >= 0.999, (
+        f"only {frac:.4f} of pixels match (worst rel {rel.max():.3g})")
+
+
+def test_simple_scene(simple_scene):
+    _compare(simple_scene, 16, 16, sample=1, max_depth=3)
+
+
+def test_cornell(cornell_scene):
+    _compare(cornell_scene, 16, 16, sample=2, max_depth=4)
+
+
+def test_accumulate_matches_xla(simple_scene):
+    w = h = 12
+    want = np.asarray(xla_tracer.render_accumulate(
+        simple_scene, w, h, spp=2, max_depth=3))
+    got = np.asarray(pallas_tracer.render_accumulate(
+        simple_scene, w, h, spp=2, max_depth=3))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_gradient_matches_xla(simple_scene):
+    """custom_vjp backward (recompute through XLA) equals XLA AD."""
+    import jax
+
+    w = h = 8
+
+    def loss_pallas(spectra):
+        s = simple_scene._replace(spectra=spectra)
+        img = pallas_tracer.render_sample(s, w, h, 1, max_depth=2)
+        return jnp.sum(img ** 2)
+
+    def loss_xla(spectra):
+        s = simple_scene._replace(spectra=spectra)
+        img = xla_tracer.render_sample(s, w, h, 1, max_depth=2)
+        return jnp.sum(img ** 2)
+
+    spectra = jnp.asarray(simple_scene.spectra)
+    g_pal = np.asarray(jax.grad(loss_pallas)(spectra))
+    g_xla = np.asarray(jax.grad(loss_xla)(spectra))
+    assert np.isfinite(g_pal).all()
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-3, atol=1e-5)
