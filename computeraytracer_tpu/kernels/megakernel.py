@@ -148,8 +148,10 @@ def _pcg4d(s):
 
 
 def _to_unit(bits):
-    return (bits & _U32(0x00FFFFFF)).astype(jnp.float32) * jnp.float32(
-        1.0 / 0x01000000)
+    # Mosaic has no u32->f32 cast; the value is < 2^24 so the i32 hop
+    # is exact (and matches ops/rng.py bit-for-bit)
+    return (bits & _U32(0x00FFFFFF)).astype(jnp.int32).astype(
+        jnp.float32) * jnp.float32(1.0 / 0x01000000)
 
 
 def _rand_masked(seed, mask):
@@ -297,10 +299,13 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         beta = (one, one, one, one)
         last_pdf = one
         eta_scale = one
+        # bool state crosses the fori_loop boundary as int32: Mosaic
+        # cannot truncate the i8 vectors a loop-carried i1 round-trips
+        # through ("Unsupported target bitwidth for truncation")
         exclude = jnp.full(shape, -1, jnp.int32)
-        specular = jnp.zeros(shape, bool)
-        in_trans = jnp.zeros(shape, bool)
-        active = jnp.ones(shape, bool)
+        specular = jnp.zeros(shape, jnp.int32)
+        in_trans = jnp.zeros(shape, jnp.int32)
+        active = jnp.ones(shape, jnp.int32)
 
         # static per-prim spectral bindings
         emis_planes = [spectrum_planes(spect_ref, static.emission_idx[i])
@@ -315,6 +320,9 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         def body(depth, carry):
             (seed, o, d, L, beta, last_pdf, eta_scale, exclude, specular,
              in_trans, active) = carry
+            specular = specular != 0
+            in_trans = in_trans != 0
+            active = active != 0
 
             hit = _scan_primitives(static, prims_ref, o, d, exclude, shape)
             lane_hit = active & hit["hit"]
@@ -476,7 +484,9 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                                          beta[j] * eta2v) for j in range(4))
             eta_scale_glass = jnp.where(choose_refl, eta_scale,
                                         eta_scale / eta2v)
-            in_trans_glass = jnp.where(choose_refl, in_trans, ~in_trans)
+            # Mosaic rejects select on i1 data operands -> boolean algebra
+            toggle_trans = is_glass & ~choose_refl  # refraction crossed a
+            #                                         glass interface
 
             # ---- MIRROR
             nd2m = 2.0 * _vdot(n, d)
@@ -491,12 +501,12 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                                    jnp.where(is_glass, beta_glass[j],
                                              beta[j])) for j in range(4))
             last_pdf = jnp.where(is_diffuse, bounce_pdf, last_pdf)
-            specular = jnp.where(is_diffuse, False,
-                                 jnp.where(is_glass | is_mirror, True,
-                                           specular))
-            exclude = jnp.where(is_glass | is_mirror, -1, exclude)
+            is_spec_bounce = is_glass | is_mirror
+            specular = is_spec_bounce | (specular
+                                         & ~(is_diffuse | is_spec_bounce))
+            exclude = jnp.where(is_spec_bounce, -1, exclude)
             eta_scale = jnp.where(is_glass, eta_scale_glass, eta_scale)
-            in_trans = jnp.where(is_glass, in_trans_glass, in_trans)
+            in_trans = in_trans ^ toggle_trans
 
             # ---- Russian roulette (wgsl:279-289)
             r0 = beta[0] * eta_scale
@@ -514,7 +524,8 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                          for j in range(4))
 
             return (seed, o, d, L, beta, last_pdf, eta_scale, exclude,
-                    specular, in_trans, active)
+                    specular.astype(jnp.int32), in_trans.astype(jnp.int32),
+                    active.astype(jnp.int32))
 
         carry = jax.lax.fori_loop(0, max_depth + 1, body, carry)
         L = carry[3]
