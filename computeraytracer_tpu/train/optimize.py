@@ -57,13 +57,13 @@ def merge_scene(static_scene, params):
 
 
 def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
-                    first_sample=1, mesh=None):
+                    first_sample=1, mesh=None, use_remat=True):
     if mesh is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
 
         def body(acc, s):
             return acc + xla_tracer.render_sample(
-                scene, width, height, s, max_depth, rr_start), None
+                scene, width, height, s, max_depth, rr_start, use_remat), None
 
         samples = (jnp.asarray(first_sample, jnp.uint32)
                    + jnp.arange(spp, dtype=jnp.uint32))
@@ -76,13 +76,13 @@ def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
 
 
 def make_loss_fn(static_scene, width, height, spp, max_depth,
-                 rr_start: int = 1, mesh=None):
+                 rr_start: int = 1, mesh=None, use_remat=True):
     """L2 loss in XYZ between the rendered mean and a target image."""
 
     def loss_fn(params, target, first_sample):
         scene = merge_scene(static_scene, params)
         img = render_mean_xyz(scene, width, height, spp, max_depth,
-                              rr_start, first_sample, mesh)
+                              rr_start, first_sample, mesh, use_remat)
         return jnp.mean((img - target) ** 2)
 
     return loss_fn

@@ -8,6 +8,7 @@ via --xla_force_host_platform_device_count on the CPU platform).
 """
 
 import os
+import pathlib
 
 import jax
 
@@ -18,6 +19,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: the suite is dominated by XLA compiles of
+# grad-of-scan programs; caching them makes re-runs (and xdist workers
+# hitting the same shapes) near-instant.
+_cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+_cache_dir.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

@@ -31,8 +31,11 @@ def _directional_fd(loss, params, key, eps, seed=0):
 
 def _weighted_image_loss(static, w, h, spp, max_depth, weight):
     def loss(p):
+        # use_remat=False: tiny images fit memory easily, and skipping
+        # remat halves the backward compile+compute in these tests
         img = opt.render_mean_xyz(opt.merge_scene(static, p), w, h,
-                                  spp=spp, max_depth=max_depth)
+                                  spp=spp, max_depth=max_depth,
+                                  use_remat=False)
         return jnp.sum(img * weight)
     return loss
 
@@ -43,7 +46,7 @@ def test_albedo_gradients_match_fd(simple_scene):
     weight = jnp.asarray(
         np.random.default_rng(1).uniform(0.5, 1.5, (h, w, 3)), jnp.float32)
     loss = _weighted_image_loss(static, w, h, 2, 3, weight)
-    for seed in range(3):
+    for seed in range(2):
         ad, fd = _directional_fd(loss, params, "spectra", eps=3e-2,
                                  seed=seed)
         assert np.isfinite(ad) and np.isfinite(fd)
@@ -70,12 +73,12 @@ def test_vertex_gradients_match_fd():
     # at eps=1e-4, so demand interior agreement on a majority of random
     # directions and treat flip-outliers as such.
     agree = 0
-    for seed in range(6):
+    for seed in range(4):
         ad, fd = _directional_fd(loss, params, "data1", eps=1e-4, seed=seed)
         assert np.isfinite(ad) and np.isfinite(fd)
         if abs(ad - fd) <= 0.05 * max(abs(ad), abs(fd), 1e-3):
             agree += 1
-    assert agree >= 4, f"only {agree}/6 directions agree"
+    assert agree >= 3, f"only {agree}/4 directions agree"
 
 
 def test_vertex_gradients_finite_with_occluders(simple_scene):
