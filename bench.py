@@ -1,20 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: Cornell-box spectral path tracing throughput.
+"""Headline benchmark: Cornell-box spectral path tracing, fwd+bwd.
 
 Prints ONE JSON line:
-  {"metric": "pallas_fwd_mpaths_per_s", "value": N, "unit": "Mpaths/s",
+  {"metric": "pallas_fwdbwd_mpaths_per_s", "value": N, "unit": "Mpaths/s",
    "vs_baseline": N}
 
-- metric: forward path-trace throughput of the Pallas megakernel at
-  1024x1024, 1 spp, max_depth=8 (full NEE/MIS/RR/glass estimator) on one
-  chip. One "path" = one camera sample (each path casts ~2 rays/bounce:
-  closest-hit + shadow).
+- metric: forward+backward throughput of the Pallas megakernels at
+  1024x1024, 1 spp, max_depth=8 (full NEE/MIS/RR/glass estimator,
+  value_and_grad w.r.t. spectra + vertex geometry) on one chip — the
+  BASELINE.json north-star workload. One "path" = one camera sample
+  (each path casts ~2 rays/bounce: closest-hit + shadow).
 - vs_baseline: speedup over the naive XLA tracer (the reference-
-  equivalent lax.scan/vmap implementation, tracer/xla.py) on the same
-  workload — BASELINE.md's ">=2x vs naive XLA tracer" target.
+  equivalent lax.scan/vmap implementation, tracer/xla.py, via JAX AD)
+  on the same workload — BASELINE.md's ">=2x vs naive XLA tracer".
 
 The reference publishes no numbers (BASELINE.md): the baseline is our
-own naive XLA tracer, as specified by BASELINE.json.
+own naive XLA tracer, as specified by BASELINE.json. Pass --forward for
+the forward-only variant of the same comparison.
 """
 
 from __future__ import annotations
@@ -25,11 +27,10 @@ import sys
 import time
 
 
-def _time_render(fn, iters: int = 3) -> float:
+def _time(fn, iters: int = 3) -> float:
     import jax
 
-    # warmup/compile
-    jax.block_until_ready(fn())
+    jax.block_until_ready(fn())  # warmup/compile
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -43,7 +44,12 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--forward", action="store_true",
+                    help="forward-only instead of fwd+bwd")
     args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
 
     from computeraytracer_tpu.scene import presets, scene_from_dict
     from computeraytracer_tpu.tracer import pallas as pallas_tracer
@@ -53,20 +59,44 @@ def main() -> int:
     scene, _ = scene_from_dict(presets.cornell_box(w, h))
     paths = w * h  # 1 spp
 
-    xla_s = _time_render(
-        lambda: xla_tracer.render_accumulate(scene, w, h, spp=1,
-                                             max_depth=args.depth),
-        args.iters)
+    if args.forward:
+        metric = "pallas_fwd_mpaths_per_s"
+        xla_fn = jax.jit(lambda s: xla_tracer.render_sample(
+            s, w, h, 1, max_depth=args.depth))
+        pal_fn = jax.jit(lambda s: pallas_tracer.render_sample(
+            s, w, h, 1, max_depth=args.depth,
+            static=pallas_tracer.SceneStatic.from_scene(scene)))
+        xla_bench = lambda: xla_fn(scene)
+        pal_bench = lambda: pal_fn(scene)
+    else:
+        metric = "pallas_fwdbwd_mpaths_per_s"
+        static = pallas_tracer.SceneStatic.from_scene(scene)
+
+        def make_loss(tracer, **kw):
+            def loss(spectra, d1):
+                s = scene._replace(
+                    spectra=spectra,
+                    primitives=scene.primitives._replace(data1=d1))
+                img = tracer.render_sample(s, w, h, 1,
+                                           max_depth=args.depth, **kw)
+                return jnp.mean(img ** 2)
+            return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+
+        xla_g = make_loss(xla_tracer)
+        pal_g = make_loss(pallas_tracer, static=static)
+        spectra = jnp.asarray(scene.spectra)
+        d1 = jnp.asarray(scene.primitives.data1)
+        xla_bench = lambda: xla_g(spectra, d1)
+        pal_bench = lambda: pal_g(spectra, d1)
+
+    xla_s = _time(xla_bench, args.iters)
     xla_rate = paths / xla_s / 1e6
 
     try:
-        pal_s = _time_render(
-            lambda: pallas_tracer.render_accumulate(scene, w, h, spp=1,
-                                                    max_depth=args.depth),
-            args.iters)
+        pal_s = _time(pal_bench, args.iters)
         pal_rate = paths / pal_s / 1e6
         result = {
-            "metric": "pallas_fwd_mpaths_per_s",
+            "metric": metric,
             "value": round(pal_rate, 4),
             "unit": "Mpaths/s",
             "vs_baseline": round(pal_rate / xla_rate, 4),
@@ -75,7 +105,7 @@ def main() -> int:
         print(f"pallas bench failed ({type(e).__name__}: {e}); "
               f"reporting naive XLA tracer", file=sys.stderr)
         result = {
-            "metric": "xla_fwd_mpaths_per_s",
+            "metric": metric.replace("pallas", "xla"),
             "value": round(xla_rate, 4),
             "unit": "Mpaths/s",
             "vs_baseline": 1.0,

@@ -1,4 +1,4 @@
-"""Pallas TPU path-tracing megakernel (forward).
+"""Pallas TPU path-tracing megakernels (forward + hand-built backward).
 
 TPU-native re-design of the reference's WGSL compute megakernel
 (/root/reference/src/shaders/ComputeShader.wgsl:77-295). One grid step
@@ -26,15 +26,24 @@ Design notes (what makes this the TPU shape of the problem):
   its last-wins tie semantics exactly (the coplanar ceiling light
   depends on it) — no argmin reduction, and bit-for-bit the oracle's
   draw stream via the same pcg4d (ops/rng.py) run on u32 vectors.
-- Scene scalars live in SMEM; all per-ray state is (TILE_M, 128) f32 /
-  u32 / bool vectors in VMEM/registers.
+- **Backward = replay + per-bounce adjoint.** The reference has no
+  backward at all; JAX cannot reverse-differentiate through a Pallas
+  fori_loop, so the backward kernel (a) replays the forward bounce
+  loop, checkpointing each bounce's carry into a VMEM tape (~24 planes
+  x depth; fits VMEM for tile_m<=32, the Pallas analogue of
+  jax.checkpoint at every scan step), then (b) sweeps the bounces in
+  reverse, rebuilding each bounce's linearization in-register with
+  jax.vjp *inside the kernel* (it traces to pure VPU ops) and
+  accumulating cotangents for the primitive table, the per-ray spectra
+  planes, and the input rays. Sampling decisions replay bit-identically
+  (same pcg4d stream), so the adjoint matches JAX AD of the XLA tracer
+  exactly — verified in tests/test_pallas.py.
 """
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +57,7 @@ T_MIN = 0.001
 ETA1, ETA2 = 1.0, 1.5
 LANES = 128
 DEFAULT_TILE_M = 32  # 32 x 128 = 4096 rays per grid step
+N_DIFF = 16  # differentiable carry planes: o3 d3 L4 beta4 last_pdf eta_scale
 
 
 class SceneStatic(NamedTuple):
@@ -77,10 +87,6 @@ class SceneStatic(NamedTuple):
 # ---------------------------------------------------------------------------
 # small vector helpers over (T, 128) planes; a "vec3" is a 3-tuple of planes
 # ---------------------------------------------------------------------------
-
-def _v3(x, y, z):
-    return (x, y, z)
-
 
 def _vdot(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
@@ -116,10 +122,7 @@ def _scalar_cross(a, b):
             a[0] * b[1] - a[1] * b[0])
 
 
-def _vcross(a, b):
-    return (a[1] * b[2] - a[2] * b[1],
-            a[2] * b[0] - a[0] * b[2],
-            a[0] * b[1] - a[1] * b[0])
+_vcross = _scalar_cross
 
 
 # ---------------------------------------------------------------------------
@@ -162,14 +165,15 @@ def _rand_masked(seed, mask):
 
 
 # ---------------------------------------------------------------------------
-# the megakernel
+# shared bounce physics, parameterized over how scene data is read
 # ---------------------------------------------------------------------------
 
-def _scan_primitives(static: SceneStatic, prims_ref, o, d, exclude,
-                     shape):
+def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape):
     """In-order closest-hit scan (wgsl:503-632 semantics).
 
-    Returns dict of (T,128) planes: hit, t, idx, pos, normal, mat planes.
+    getp(i, j): scalar element j of primitive row i (SMEM ref read in
+    the forward kernel; jnp array read under the backward's vjp).
+    Returns dict of (T,128) planes: hit, t, idx, pos, nrm.
     """
     inf = jnp.full(shape, jnp.inf, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
@@ -184,9 +188,9 @@ def _scan_primitives(static: SceneStatic, prims_ref, o, d, exclude,
     for i, cat in enumerate(static.categories):
         not_excluded = exclude != i
         if cat in (0, 2):  # planar patch / triangle share the plane test
-            p0 = (prims_ref[i, 0], prims_ref[i, 1], prims_ref[i, 2])
-            e1 = (prims_ref[i, 3], prims_ref[i, 4], prims_ref[i, 5])
-            e2 = (prims_ref[i, 6], prims_ref[i, 7], prims_ref[i, 8])
+            p0 = (getp(i, 0), getp(i, 1), getp(i, 2))
+            e1 = (getp(i, 3), getp(i, 4), getp(i, 5))
+            e2 = (getp(i, 6), getp(i, 7), getp(i, 8))
             n_raw = _scalar_cross(e1, e2)
             n_len2 = n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1] + \
                 n_raw[2] * n_raw[2]
@@ -227,8 +231,8 @@ def _scan_primitives(static: SceneStatic, prims_ref, o, d, exclude,
             sgn = jnp.where(flip, -1.0, 1.0)
             n_eff = (sgn * n0[0], sgn * n0[1], sgn * n0[2])
         else:  # sphere
-            cx = (prims_ref[i, 0], prims_ref[i, 1], prims_ref[i, 2])
-            radius = prims_ref[i, 3]
+            cx = (getp(i, 0), getp(i, 1), getp(i, 2))
+            radius = getp(i, 3)
             co = _vsub(o, cx)
             a = d_dot_d
             b = 2.0 * _vdot(d, co)
@@ -255,25 +259,24 @@ def _scan_primitives(static: SceneStatic, prims_ref, o, d, exclude,
     return state
 
 
-def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
-                  tile_m: int = DEFAULT_TILE_M, interpret: bool = False):
-    """Build the forward megakernel for a fixed scene structure.
+def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
+    """One bounce of the path-trace loop (wgsl:133-293) over all lanes.
 
-    Returns f(prims_f (P,12) f32, rays (6,M,128), seeds (4,M,128) u32,
-    spect (S*4, M, 128)) -> radiance (4, M, 128).
+    Returns bounce(getp, gets, diff, nondiff, depth) -> (diff, nondiff):
+      getp(i, j)  scalar element of primitive row i
+      gets(row)   4-tuple of (T,128) planes: spectrum `row` at the
+                  ray's hero wavelengths
+      diff        (o3, d3, L4, beta4, last_pdf, eta_scale) float planes
+      nondiff     (seed u32x4, exclude i32, specular/in_trans/active bool)
     """
     n_prims = len(static.categories)
     S = static.n_spectra
     n_lights = len(static.light_rows)
-    shape = (tile_m, LANES)
 
-    def spectrum_planes(spect_ref, row: int):
-        return tuple(spect_ref[row * 4 + j, :, :] for j in range(4))
-
-    def light_pdf(prims_ref, l_row, n_at_light, ray_dir, l_pos, r_origin):
+    def light_pdf(getp, l_row, n_at_light, ray_dir, l_pos, r_origin):
         """compute_light_pdf (wgsl:357-377) for a static light row."""
-        e1 = (prims_ref[l_row, 3], prims_ref[l_row, 4], prims_ref[l_row, 5])
-        e2 = (prims_ref[l_row, 6], prims_ref[l_row, 7], prims_ref[l_row, 8])
+        e1 = (getp(l_row, 3), getp(l_row, 4), getp(l_row, 5))
+        e2 = (getp(l_row, 6), getp(l_row, 7), getp(l_row, 8))
         area = jnp.sqrt(jnp.maximum(
             e1[0] ** 2 + e1[1] ** 2 + e1[2] ** 2, 1e-30)) * jnp.sqrt(
             jnp.maximum(e2[0] ** 2 + e2[1] ** 2 + e2[2] ** 2, 1e-30))
@@ -288,247 +291,290 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         r = g / jnp.maximum(f, 1e-12)
         return 1.0 / (1.0 + r * r)
 
-    def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, out_ref):
-        o = (rays_ref[0, :, :], rays_ref[1, :, :], rays_ref[2, :, :])
-        d = (rays_ref[3, :, :], rays_ref[4, :, :], rays_ref[5, :, :])
-        seed = tuple(seeds_ref[k, :, :] for k in range(4))
-
-        zero = jnp.zeros(shape, jnp.float32)
+    def bounce(getp, gets, diff, nondiff, depth):
+        o, d, L, beta, last_pdf, eta_scale = diff
+        seed, exclude, specular, in_trans, active = nondiff
         one = jnp.ones(shape, jnp.float32)
-        L = (zero, zero, zero, zero)
-        beta = (one, one, one, one)
-        last_pdf = one
-        eta_scale = one
-        # bool state crosses the fori_loop boundary as int32: Mosaic
-        # cannot truncate the i8 vectors a loop-carried i1 round-trips
-        # through ("Unsupported target bitwidth for truncation")
-        exclude = jnp.full(shape, -1, jnp.int32)
-        specular = jnp.zeros(shape, jnp.int32)
-        in_trans = jnp.zeros(shape, jnp.int32)
-        active = jnp.ones(shape, jnp.int32)
+        zero = jnp.zeros(shape, jnp.float32)
+        inv_pi = jnp.float32(1.0 / math.pi)
 
-        # static per-prim spectral bindings
-        emis_planes = [spectrum_planes(spect_ref, static.emission_idx[i])
-                       for i in range(n_prims)]
-        refl_planes = [spectrum_planes(spect_ref, static.reflectance_idx[i])
-                       for i in range(n_prims)]
-        ext_planes = spectrum_planes(spect_ref, S - 1)
+        hit = _scan_primitives(static, getp, o, d, exclude, shape)
+        lane_hit = active & hit["hit"]
+        active = lane_hit
+        exclude = jnp.where(lane_hit, hit["idx"], exclude)
+        idx = hit["idx"]
 
-        carry = (seed, o, d, L, beta, last_pdf, eta_scale, exclude,
-                 specular, in_trans, active)
+        # material mask from static table
+        mat_light = jnp.zeros(shape, bool)
+        mat_diffuse = jnp.zeros(shape, bool)
+        mat_glass = jnp.zeros(shape, bool)
+        mat_mirror = jnp.zeros(shape, bool)
+        for i, m in enumerate(static.materials):
+            sel = idx == i
+            if m == C.LIGHT:
+                mat_light = mat_light | sel
+            elif m == C.DIFFUSE:
+                mat_diffuse = mat_diffuse | sel
+            elif m == C.GLASS:
+                mat_glass = mat_glass | sel
+            elif m == C.MIRROR:
+                mat_mirror = mat_mirror | sel
+
+        # ---- emissive hit (wgsl:149-164)
+        is_light = lane_hit & mat_light
+        le = [zero] * 4
+        for i in range(n_prims):
+            if static.materials[i] == C.LIGHT:
+                sel = idx == i
+                emis = gets(static.emission_idx[i])
+                le = [jnp.where(sel, emis[j], le[j]) for j in range(4)]
+        pdf_l_hit = zero
+        for lr in static.light_rows:
+            sel = idx == lr
+            pdf_l_hit = jnp.where(
+                sel, light_pdf(getp, lr, hit["nrm"], d, hit["pos"], o),
+                pdf_l_hit)
+        weight_b = power_heuristic(last_pdf, pdf_l_hit)
+        mis_w = jnp.where((depth == 0) | specular, 1.0, weight_b)
+        L = tuple(L[j] + jnp.where(is_light, beta[j] * le[j] * mis_w, 0.0)
+                  for j in range(4))
+        active = active & ~is_light
+
+        scatter = active & (depth < max_depth)
+        active = scatter
+
+        # ---- Beer-Lambert (wgsl:173-179)
+        ext = gets(S - 1)
+        diffp = _vsub(hit["pos"], o)
+        dsq = _vdot(diffp, diffp)
+        dist = jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)) * (dsq > 0)
+        bl = scatter & in_trans
+        beta = tuple(jnp.where(
+            bl, beta[j] * jnp.exp(-ext[j] * dist), beta[j])
+            for j in range(4))
+
+        is_diffuse = scatter & mat_diffuse
+        is_glass = scatter & mat_glass
+        is_mirror = scatter & mat_mirror
+
+        # ---- DIFFUSE: NEE + cosine bounce (5 draws)
+        u_l, seed = _rand_masked(seed, is_diffuse)
+        u_p, seed = _rand_masked(seed, is_diffuse)
+        v_p, seed = _rand_masked(seed, is_diffuse)
+        u_h, seed = _rand_masked(seed, is_diffuse)
+        v_h, seed = _rand_masked(seed, is_diffuse)
+
+        brdf = [zero] * 4
+        for i in range(n_prims):
+            if static.materials[i] == C.DIFFUSE:
+                sel = idx == i
+                refl = gets(static.reflectance_idx[i])
+                brdf = [jnp.where(sel, refl[j], brdf[j]) for j in range(4)]
+        brdf = [b * inv_pi for b in brdf]
+
+        # light selection (uniform over static rows)
+        li = jnp.clip((u_l * float(n_lights)).astype(jnp.int32), 0,
+                      n_lights - 1)
+        nee = [zero] * 4
+        for l_i, lr in enumerate(static.light_rows):
+            lsel = is_diffuse & (li == l_i)
+            l_o = (getp(lr, 0), getp(lr, 1), getp(lr, 2))
+            l_e1 = (getp(lr, 3), getp(lr, 4), getp(lr, 5))
+            l_e2 = (getp(lr, 6), getp(lr, 7), getp(lr, 8))
+            p_l = (l_o[0] + u_p * l_e1[0] + v_p * l_e2[0],
+                   l_o[1] + u_p * l_e1[1] + v_p * l_e2[1],
+                   l_o[2] + u_p * l_e1[2] + v_p * l_e2[2])
+            ldir = _vnormalize(_vsub(p_l, hit["pos"]))
+            sh = _scan_primitives(static, getp, hit["pos"], ldir,
+                                  hit["idx"], shape)
+            unocc = sh["hit"] & (sh["idx"] == lr)
+            cos_t = jnp.maximum(0.0, _vdot(hit["nrm"], ldir))
+            pdf_l = light_pdf(getp, lr, sh["nrm"], ldir, sh["pos"],
+                              hit["pos"])
+            pdf_b = cos_t * inv_pi
+            w_l = power_heuristic(pdf_l, pdf_b)
+            scale = jnp.where(lsel & unocc,
+                              cos_t * w_l / jnp.maximum(pdf_l, 1e-12),
+                              0.0)
+            l_emis = gets(static.emission_idx[lr])
+            nee = [nee[j] + l_emis[j] * scale for j in range(4)]
+        L = tuple(L[j] + brdf[j] * nee[j] * beta[j] for j in range(4))
+
+        # cosine hemisphere (wgsl:751-774)
+        r_h = jnp.sqrt(jnp.maximum(u_h, 0.0))
+        th = jnp.float32(2.0 * math.pi) * v_h
+        xh = r_h * jnp.cos(th)
+        yh = r_h * jnp.sin(th)
+        zh = jnp.sqrt(jnp.maximum(0.0, 1.0 - u_h))
+        n = hit["nrm"]
+        z_minor = jnp.abs(n[2]) < 0.999
+        upx = jnp.where(z_minor, 0.0, 1.0)
+        upz = jnp.where(z_minor, 1.0, 0.0)
+        up = (upx, zero, upz)
+        tangent = _vnormalize(_vcross(up, n))
+        bitangent = _vcross(n, tangent)
+        bounce_d = (tangent[0] * xh + bitangent[0] * yh + n[0] * zh,
+                    tangent[1] * xh + bitangent[1] * yh + n[1] * zh,
+                    tangent[2] * xh + bitangent[2] * yh + n[2] * zh)
+        bounce_pdf = zh * inv_pi
+        cos_b = jnp.abs(_vdot(n, bounce_d))
+        bfac = cos_b / jnp.maximum(bounce_pdf, 1e-12)
+        beta_diffuse = tuple(beta[j] * brdf[j] * bfac for j in range(4))
+
+        # ---- GLASS (1 draw)
+        u_g, seed = _rand_masked(seed, is_glass)
+        cos_in = _vdot(n, d)
+        # fresnel_s (wgsl:814-837)
+        cosi = jnp.clip(cos_in, -1.0, 1.0)
+        fe = jnp.where(cosi > 0.0, ETA2 / ETA1, ETA1 / ETA2)
+        sint2 = fe * fe * (1.0 - cosi * cosi)
+        tir = sint2 > 1.0
+        cost = jnp.sqrt(jnp.where(tir, 1.0, 1.0 - sint2))
+        ci = jnp.abs(cosi)
+        rs = (ETA1 * ci - ETA2 * cost) / (ETA1 * ci + ETA2 * cost)
+        rp = (ETA2 * ci - ETA1 * cost) / (ETA2 * ci + ETA1 * cost)
+        reflectance = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+        eta = jnp.where(cos_in > 0.0, ETA2 / ETA1, ETA1 / ETA2)
+        flip_n = cos_in > 0.0
+        ng = _vwhere(flip_n, _vscale(-one, n), n)
+        # reflect
+        nd2 = 2.0 * _vdot(ng, d)
+        refl_dir = _vsub(d, _vscale(nd2, ng))
+        # refract (WGSL semantics; 0 on TIR)
+        ndoti = _vdot(ng, d)
+        kk = 1.0 - eta * eta * (1.0 - ndoti * ndoti)
+        ktir = kk < 0.0
+        sqk = jnp.sqrt(jnp.where(ktir, 1.0, kk))
+        rft = _vsub(_vscale(eta, d), _vscale(eta * ndoti + sqk, ng))
+        rft = _vwhere(ktir, (zero, zero, zero), rft)
+        refr_dir = _vnormalize(rft)
+        pr = reflectance
+        choose_refl = u_g < pr / jnp.maximum(pr + (1.0 - pr), 1e-12)
+        glass_dir = _vwhere(choose_refl, refl_dir, refr_dir)
+        eta2v = eta * eta
+        beta_glass = tuple(jnp.where(choose_refl, beta[j],
+                                     beta[j] * eta2v) for j in range(4))
+        eta_scale_glass = jnp.where(choose_refl, eta_scale,
+                                    eta_scale / eta2v)
+        # Mosaic rejects select on i1 data operands -> boolean algebra
+        toggle_trans = is_glass & ~choose_refl  # refraction crossed a
+        #                                         glass interface
+
+        # ---- MIRROR
+        nd2m = 2.0 * _vdot(n, d)
+        mirror_dir = _vsub(d, _vscale(nd2m, n))
+
+        # ---- merge
+        o = _vwhere(scatter, hit["pos"], o)
+        d = _vwhere(is_diffuse, bounce_d,
+                    _vwhere(is_glass, glass_dir,
+                            _vwhere(is_mirror, mirror_dir, d)))
+        beta = tuple(jnp.where(is_diffuse, beta_diffuse[j],
+                               jnp.where(is_glass, beta_glass[j],
+                                         beta[j])) for j in range(4))
+        last_pdf = jnp.where(is_diffuse, bounce_pdf, last_pdf)
+        is_spec_bounce = is_glass | is_mirror
+        specular = is_spec_bounce | (specular
+                                     & ~(is_diffuse | is_spec_bounce))
+        exclude = jnp.where(is_spec_bounce, -1, exclude)
+        eta_scale = jnp.where(is_glass, eta_scale_glass, eta_scale)
+        in_trans = in_trans ^ toggle_trans
+
+        # ---- Russian roulette (wgsl:279-289)
+        r0 = beta[0] * eta_scale
+        r1 = beta[1] * eta_scale
+        r2 = beta[2] * eta_scale
+        max_c = jnp.maximum(r0, jnp.maximum(r1, r2))
+        rr = active & (depth > rr_start) & (max_c < 1.0)
+        u_r, seed = _rand_masked(seed, rr)
+        q = jnp.maximum(0.0, 1.0 - max_c)
+        killed = rr & (u_r < q)
+        active = active & ~killed
+        surv = rr & ~killed
+        inv1q = 1.0 / jnp.maximum(1.0 - q, 1e-12)
+        beta = tuple(jnp.where(surv, beta[j] * inv1q, beta[j])
+                     for j in range(4))
+
+        return ((o, d, L, beta, last_pdf, eta_scale),
+                (seed, exclude, specular, in_trans, active))
+
+    return bounce
+
+
+# ---------------------------------------------------------------------------
+# carry packing: diff part <-> 16 float planes; nondiff <-> u32/i32 planes
+# ---------------------------------------------------------------------------
+
+def _pack_diff(diff):
+    o, d, L, beta, last_pdf, eta_scale = diff
+    return (*o, *d, *L, *beta, last_pdf, eta_scale)
+
+
+def _unpack_diff(planes):
+    return ((planes[0], planes[1], planes[2]),
+            (planes[3], planes[4], planes[5]),
+            tuple(planes[6:10]), tuple(planes[10:14]),
+            planes[14], planes[15])
+
+
+def _init_carry(rays_ref, seeds_ref, shape):
+    o = (rays_ref[0, :, :], rays_ref[1, :, :], rays_ref[2, :, :])
+    d = (rays_ref[3, :, :], rays_ref[4, :, :], rays_ref[5, :, :])
+    seed = tuple(seeds_ref[k, :, :] for k in range(4))
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    diff = (o, d, (zero, zero, zero, zero), (one, one, one, one), one, one)
+    nondiff = (seed, jnp.full(shape, -1, jnp.int32),
+               jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
+               jnp.ones(shape, jnp.int32))
+    return diff, nondiff
+
+
+def _pack_nd(nondiff):
+    """nondiff carry -> 8 flat planes (4 u32 seed + 4 i32).
+
+    bool state crosses the fori_loop boundary as int32: Mosaic cannot
+    truncate the i8 vectors a loop-carried i1 round-trips through."""
+    seed, exclude, specular, in_trans, active = nondiff
+    return (*seed, exclude, specular.astype(jnp.int32),
+            in_trans.astype(jnp.int32), active.astype(jnp.int32))
+
+
+def _unpack_nd(planes):
+    return (tuple(planes[0:4]), planes[4], planes[5] != 0,
+            planes[6] != 0, planes[7] != 0)
+
+
+# ---------------------------------------------------------------------------
+# forward megakernel
+# ---------------------------------------------------------------------------
+
+def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
+                  tile_m: int = DEFAULT_TILE_M, interpret: bool = False):
+    """Build the forward megakernel for a fixed scene structure.
+
+    Returns f(prims_f (P,12) f32, rays (6,M,128), seeds (4,M,128) u32,
+    spect (S*4, M, 128)) -> radiance (4, M, 128).
+    """
+    S = static.n_spectra
+    shape = (tile_m, LANES)
+    bounce = make_bounce(static, shape, max_depth, rr_start)
+
+    def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, out_ref):
+        getp = lambda i, j: prims_ref[i, j]
+        gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
+                                 for j in range(4))
+        diff, nondiff = _init_carry(rays_ref, seeds_ref, shape)
+        carry = _pack_diff(diff) + _pack_nd(nondiff)
 
         def body(depth, carry):
-            (seed, o, d, L, beta, last_pdf, eta_scale, exclude, specular,
-             in_trans, active) = carry
-            specular = specular != 0
-            in_trans = in_trans != 0
-            active = active != 0
-
-            hit = _scan_primitives(static, prims_ref, o, d, exclude, shape)
-            lane_hit = active & hit["hit"]
-            active = lane_hit
-            exclude = jnp.where(lane_hit, hit["idx"], exclude)
-            idx = hit["idx"]
-
-            # material mask from static table
-            mat_light = jnp.zeros(shape, bool)
-            mat_diffuse = jnp.zeros(shape, bool)
-            mat_glass = jnp.zeros(shape, bool)
-            mat_mirror = jnp.zeros(shape, bool)
-            for i, m in enumerate(static.materials):
-                sel = idx == i
-                if m == C.LIGHT:
-                    mat_light = mat_light | sel
-                elif m == C.DIFFUSE:
-                    mat_diffuse = mat_diffuse | sel
-                elif m == C.GLASS:
-                    mat_glass = mat_glass | sel
-                elif m == C.MIRROR:
-                    mat_mirror = mat_mirror | sel
-
-            # ---- emissive hit (wgsl:149-164)
-            is_light = lane_hit & mat_light
-            le = [jnp.zeros(shape, jnp.float32)] * 4
-            for i in range(n_prims):
-                if static.materials[i] == C.LIGHT:
-                    sel = idx == i
-                    le = [jnp.where(sel, emis_planes[i][j], le[j])
-                          for j in range(4)]
-            pdf_l_hit = jnp.zeros(shape, jnp.float32)
-            for lr in static.light_rows:
-                sel = idx == lr
-                pdf_l_hit = jnp.where(
-                    sel, light_pdf(prims_ref, lr, hit["nrm"], d,
-                                   hit["pos"], o), pdf_l_hit)
-            weight_b = power_heuristic(last_pdf, pdf_l_hit)
-            mis_w = jnp.where((depth == 0) | specular, 1.0, weight_b)
-            add = is_light
-            L = tuple(L[j] + jnp.where(add, beta[j] * le[j] * mis_w, 0.0)
-                      for j in range(4))
-            active = active & ~is_light
-
-            scatter = active & (depth < max_depth)
-            active = scatter
-
-            # ---- Beer-Lambert (wgsl:173-179)
-            diffp = _vsub(hit["pos"], o)
-            dsq = _vdot(diffp, diffp)
-            dist = jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)) * (dsq > 0)
-            bl = scatter & in_trans
-            beta = tuple(jnp.where(
-                bl, beta[j] * jnp.exp(-ext_planes[j] * dist), beta[j])
-                for j in range(4))
-
-            is_diffuse = scatter & mat_diffuse
-            is_glass = scatter & mat_glass
-            is_mirror = scatter & mat_mirror
-
-            # ---- DIFFUSE: NEE + cosine bounce (5 draws)
-            u_l, seed = _rand_masked(seed, is_diffuse)
-            u_p, seed = _rand_masked(seed, is_diffuse)
-            v_p, seed = _rand_masked(seed, is_diffuse)
-            u_h, seed = _rand_masked(seed, is_diffuse)
-            v_h, seed = _rand_masked(seed, is_diffuse)
-
-            brdf = [jnp.zeros(shape, jnp.float32)] * 4
-            for i in range(n_prims):
-                if static.materials[i] == C.DIFFUSE:
-                    sel = idx == i
-                    brdf = [jnp.where(sel, refl_planes[i][j], brdf[j])
-                            for j in range(4)]
-            inv_pi = jnp.float32(1.0 / math.pi)
-            brdf = [b * inv_pi for b in brdf]
-
-            # light selection (uniform over static rows)
-            li = jnp.clip((u_l * float(n_lights)).astype(jnp.int32), 0,
-                          n_lights - 1)
-            nee = [jnp.zeros(shape, jnp.float32)] * 4
-            for l_i, lr in enumerate(static.light_rows):
-                lsel = is_diffuse & (li == l_i)
-                l_o = (prims_ref[lr, 0], prims_ref[lr, 1], prims_ref[lr, 2])
-                l_e1 = (prims_ref[lr, 3], prims_ref[lr, 4], prims_ref[lr, 5])
-                l_e2 = (prims_ref[lr, 6], prims_ref[lr, 7], prims_ref[lr, 8])
-                p_l = (l_o[0] + u_p * l_e1[0] + v_p * l_e2[0],
-                       l_o[1] + u_p * l_e1[1] + v_p * l_e2[1],
-                       l_o[2] + u_p * l_e1[2] + v_p * l_e2[2])
-                ldir = _vnormalize(_vsub(p_l, hit["pos"]))
-                sh = _scan_primitives(static, prims_ref, hit["pos"], ldir,
-                                      hit["idx"], shape)
-                unocc = sh["hit"] & (sh["idx"] == lr)
-                cos_t = jnp.maximum(0.0, _vdot(hit["nrm"], ldir))
-                pdf_l = light_pdf(prims_ref, lr, sh["nrm"], ldir,
-                                  sh["pos"], hit["pos"])
-                pdf_b = cos_t * inv_pi
-                w_l = power_heuristic(pdf_l, pdf_b)
-                scale = jnp.where(lsel & unocc,
-                                  cos_t * w_l / jnp.maximum(pdf_l, 1e-12),
-                                  0.0)
-                l_emis = spectrum_planes(
-                    spect_ref, static.emission_idx[lr])
-                nee = [nee[j] + l_emis[j] * scale for j in range(4)]
-            L = tuple(L[j] + brdf[j] * nee[j] * beta[j] for j in range(4))
-
-            # cosine hemisphere (wgsl:751-774)
-            r_h = jnp.sqrt(jnp.maximum(u_h, 0.0))
-            th = jnp.float32(2.0 * math.pi) * v_h
-            xh = r_h * jnp.cos(th)
-            yh = r_h * jnp.sin(th)
-            zh = jnp.sqrt(jnp.maximum(0.0, 1.0 - u_h))
-            n = hit["nrm"]
-            z_minor = jnp.abs(n[2]) < 0.999
-            upx = jnp.where(z_minor, 0.0, 1.0)
-            upz = jnp.where(z_minor, 1.0, 0.0)
-            up = (upx, jnp.zeros(shape, jnp.float32), upz)
-            tangent = _vnormalize(_vcross(up, n))
-            bitangent = _vcross(n, tangent)
-            bounce = (tangent[0] * xh + bitangent[0] * yh + n[0] * zh,
-                      tangent[1] * xh + bitangent[1] * yh + n[1] * zh,
-                      tangent[2] * xh + bitangent[2] * yh + n[2] * zh)
-            bounce_pdf = zh * inv_pi
-            cos_b = jnp.abs(_vdot(n, bounce))
-            bfac = cos_b / jnp.maximum(bounce_pdf, 1e-12)
-            beta_diffuse = tuple(beta[j] * brdf[j] * bfac for j in range(4))
-
-            # ---- GLASS (1 draw)
-            u_g, seed = _rand_masked(seed, is_glass)
-            cos_in = _vdot(n, d)
-            # fresnel_s (wgsl:814-837)
-            cosi = jnp.clip(cos_in, -1.0, 1.0)
-            fe = jnp.where(cosi > 0.0, ETA2 / ETA1, ETA1 / ETA2)
-            sint2 = fe * fe * (1.0 - cosi * cosi)
-            tir = sint2 > 1.0
-            cost = jnp.sqrt(jnp.where(tir, 1.0, 1.0 - sint2))
-            ci = jnp.abs(cosi)
-            rs = (ETA1 * ci - ETA2 * cost) / (ETA1 * ci + ETA2 * cost)
-            rp = (ETA2 * ci - ETA1 * cost) / (ETA2 * ci + ETA1 * cost)
-            reflectance = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
-            eta = jnp.where(cos_in > 0.0, ETA2 / ETA1, ETA1 / ETA2)
-            flip_n = cos_in > 0.0
-            ng = _vwhere(flip_n, _vscale(-one, n), n)
-            # reflect
-            nd2 = 2.0 * _vdot(ng, d)
-            refl_dir = _vsub(d, _vscale(nd2, ng))
-            # refract (WGSL semantics; 0 on TIR)
-            ndoti = _vdot(ng, d)
-            kk = 1.0 - eta * eta * (1.0 - ndoti * ndoti)
-            ktir = kk < 0.0
-            sqk = jnp.sqrt(jnp.where(ktir, 1.0, kk))
-            rft = _vsub(_vscale(eta, d), _vscale(eta * ndoti + sqk, ng))
-            rft = _vwhere(ktir, (zero, zero, zero), rft)
-            refr_dir = _vnormalize(rft)
-            pr = reflectance
-            choose_refl = u_g < pr / jnp.maximum(pr + (1.0 - pr), 1e-12)
-            glass_dir = _vwhere(choose_refl, refl_dir, refr_dir)
-            eta2v = eta * eta
-            beta_glass = tuple(jnp.where(choose_refl, beta[j],
-                                         beta[j] * eta2v) for j in range(4))
-            eta_scale_glass = jnp.where(choose_refl, eta_scale,
-                                        eta_scale / eta2v)
-            # Mosaic rejects select on i1 data operands -> boolean algebra
-            toggle_trans = is_glass & ~choose_refl  # refraction crossed a
-            #                                         glass interface
-
-            # ---- MIRROR
-            nd2m = 2.0 * _vdot(n, d)
-            mirror_dir = _vsub(d, _vscale(nd2m, n))
-
-            # ---- merge
-            o = _vwhere(scatter, hit["pos"], o)
-            d = _vwhere(is_diffuse, bounce,
-                        _vwhere(is_glass, glass_dir,
-                                _vwhere(is_mirror, mirror_dir, d)))
-            beta = tuple(jnp.where(is_diffuse, beta_diffuse[j],
-                                   jnp.where(is_glass, beta_glass[j],
-                                             beta[j])) for j in range(4))
-            last_pdf = jnp.where(is_diffuse, bounce_pdf, last_pdf)
-            is_spec_bounce = is_glass | is_mirror
-            specular = is_spec_bounce | (specular
-                                         & ~(is_diffuse | is_spec_bounce))
-            exclude = jnp.where(is_spec_bounce, -1, exclude)
-            eta_scale = jnp.where(is_glass, eta_scale_glass, eta_scale)
-            in_trans = in_trans ^ toggle_trans
-
-            # ---- Russian roulette (wgsl:279-289)
-            r0 = beta[0] * eta_scale
-            r1 = beta[1] * eta_scale
-            r2 = beta[2] * eta_scale
-            max_c = jnp.maximum(r0, jnp.maximum(r1, r2))
-            rr = active & (depth > rr_start) & (max_c < 1.0)
-            u_r, seed = _rand_masked(seed, rr)
-            q = jnp.maximum(0.0, 1.0 - max_c)
-            killed = rr & (u_r < q)
-            active = active & ~killed
-            surv = rr & ~killed
-            inv1q = 1.0 / jnp.maximum(1.0 - q, 1e-12)
-            beta = tuple(jnp.where(surv, beta[j] * inv1q, beta[j])
-                         for j in range(4))
-
-            return (seed, o, d, L, beta, last_pdf, eta_scale, exclude,
-                    specular.astype(jnp.int32), in_trans.astype(jnp.int32),
-                    active.astype(jnp.int32))
+            diff = _unpack_diff(carry[:N_DIFF])
+            nondiff = _unpack_nd(carry[N_DIFF:])
+            diff, nondiff = bounce(getp, gets, diff, nondiff, depth)
+            return _pack_diff(diff) + _pack_nd(nondiff)
 
         carry = jax.lax.fori_loop(0, max_depth + 1, body, carry)
-        L = carry[3]
+        L = _unpack_diff(carry[:N_DIFF])[2]
         for j in range(4):
             out_ref[j, :, :] = L[j]
 
@@ -556,6 +602,140 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         )(prims_f, rays, seeds, spect)
 
     return forward
+
+
+# ---------------------------------------------------------------------------
+# backward megakernel: forward replay with VMEM tape, reverse vjp sweep
+# ---------------------------------------------------------------------------
+
+def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
+                   tile_m: int = DEFAULT_TILE_M, interpret: bool = False):
+    """Build the backward megakernel.
+
+    Returns f(prims_f (P,12), rays (6,M,128), seeds (4,M,128) u32,
+    spect (S*4,M,128), dL (4,M,128)) ->
+      (d_prims (P,12), d_rays (6,M,128), d_spect (S*4,M,128)).
+
+    d_prims sums over every ray tile (the grid revisits one output
+    block; TPU grids are sequential so += is race-free). Decisions
+    (hits, BSDF choices, RR) replay bit-identically from the same pcg4d
+    streams; each bounce's adjoint is rebuilt in-register by jax.vjp of
+    the shared bounce function — the Pallas analogue of
+    jax.checkpoint-per-scan-step on the XLA tracer.
+    """
+    n_prims = len(static.categories)
+    S = static.n_spectra
+    s4 = S * 4
+    shape = (tile_m, LANES)
+    depth_n = max_depth + 1
+    bounce = make_bounce(static, shape, max_depth, rr_start)
+
+    def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, dl_ref,
+               dprims_ref, drays_ref, dspect_ref,
+               tape_f, tape_seed, tape_i):
+        prims = prims_ref[:]          # (P, 12) value: the diff input
+        spect = spect_ref[:]          # (S4, T, L) value: the diff input
+        getp_v = lambda pv: (lambda i, j: pv[i, j])
+        gets_v = lambda sv: (lambda row: tuple(sv[row * 4 + j]
+                                               for j in range(4)))
+
+        # ---- forward replay, checkpointing each bounce's input carry
+        diff, nondiff = _init_carry(rays_ref, seeds_ref, shape)
+        carry = _pack_diff(diff) + _pack_nd(nondiff)
+
+        def replay(depth, carry):
+            for p in range(N_DIFF):
+                tape_f[depth, p] = carry[p]
+            for k in range(4):
+                tape_seed[depth, k] = carry[N_DIFF + k]
+            for k in range(4):
+                tape_i[depth, k] = carry[N_DIFF + 4 + k]
+            diff = _unpack_diff(carry[:N_DIFF])
+            nondiff = _unpack_nd(carry[N_DIFF:])
+            diff, nondiff = bounce(getp_v(prims), gets_v(spect), diff,
+                                   nondiff, depth)
+            return _pack_diff(diff) + _pack_nd(nondiff)
+
+        jax.lax.fori_loop(0, depth_n, replay, carry)
+
+        # ---- reverse sweep
+        d_diff = [jnp.zeros(shape, jnp.float32) for _ in range(N_DIFF)]
+        for j in range(4):
+            d_diff[6 + j] = dl_ref[j, :, :]  # cotangent of final L
+        d_prims = jnp.zeros(prims.shape, jnp.float32)
+        d_spect = jnp.zeros(spect.shape, jnp.float32)
+
+        def reverse(k, acc):
+            d_diff, d_prims, d_spect = acc
+            depth = depth_n - 1 - k
+            diff_in = _unpack_diff(
+                tuple(tape_f[depth, p] for p in range(N_DIFF)))
+            seed_in = tuple(tape_seed[depth, j] for j in range(4))
+            ints = tuple(tape_i[depth, j] for j in range(4))
+            nondiff_in = _unpack_nd(seed_in + ints)
+
+            def f(pv, sv, diff_planes):
+                out_diff, _ = bounce(getp_v(pv), gets_v(sv),
+                                     _unpack_diff(diff_planes),
+                                     nondiff_in, depth)
+                return _pack_diff(out_diff)
+
+            _, vjp = jax.vjp(f, prims, spect, _pack_diff(diff_in))
+            dp, ds, dd = vjp(tuple(d_diff))
+            return list(dd), d_prims + dp, d_spect + ds
+
+        d_diff, d_prims, d_spect = jax.lax.fori_loop(
+            0, depth_n, reverse, (d_diff, d_prims, d_spect))
+
+        # cotangents of the initial carry -> input rays
+        for j in range(6):
+            drays_ref[j, :, :] = d_diff[j]
+        dspect_ref[:] = d_spect
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dprims_ref[:] = jnp.zeros_like(dprims_ref)
+        dprims_ref[:] += d_prims
+
+    @jax.jit
+    def backward(prims_f, rays, seeds, spect, dl):
+        m = rays.shape[1]
+        grid = (m // tile_m,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s4, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_prims, 12), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s4, tile_m, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_prims, 12), jnp.float32),
+                jax.ShapeDtypeStruct((6, m, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((s4, m, LANES), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((depth_n, N_DIFF, tile_m, LANES), jnp.float32),
+                pltpu.VMEM((depth_n, 4, tile_m, LANES), jnp.uint32),
+                pltpu.VMEM((depth_n, 4, tile_m, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(prims_f, rays, seeds, spect, dl)
+
+    return backward
 
 
 def pack_prims(scene) -> jnp.ndarray:

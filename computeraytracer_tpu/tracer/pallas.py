@@ -11,11 +11,15 @@ Entry points compute it eagerly from a concrete scene; when calling from
 inside your own jit, pass `static=SceneStatic.from_scene(scene)`
 computed outside.
 
-Differentiation: custom_vjp whose backward recomputes the trace with the
-XLA tracer and transposes it (identical pcg4d streams -> identical
-sampling decisions, so the vjp is exact for the same estimate). A
-hand-derived Pallas backward kernel replaces this on the optimization
-fast path in a later milestone.
+Differentiation: the kernel call carries a custom_vjp whose backward is
+the hand-built Pallas backward megakernel (replay + reverse adjoint
+sweep, kernels/megakernel.py build_backward) producing cotangents for
+the primitive table, the spectra planes, and the input rays; XLA then
+transposes the surrounding gathers/ray-gen/CIE conversion automatically,
+so gradients reach every scene leaf (geometry, spectra, camera).
+backward="xla" falls back to recompute-vjp through the XLA tracer
+(identical pcg4d streams -> identical sampling decisions -> the same
+gradient, slower).
 """
 
 from __future__ import annotations
@@ -24,7 +28,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from computeraytracer_tpu.ops import camera as cam_ops
 from computeraytracer_tpu.ops import rng
@@ -42,14 +45,23 @@ def _forward_cached(static, max_depth, rr_start, tile_m, interpret):
     return mk.build_forward(static, max_depth, rr_start, tile_m, interpret)
 
 
+@functools.lru_cache(maxsize=64)
+def _backward_cached(static, max_depth, rr_start, tile_m, interpret):
+    return mk.build_backward(static, max_depth, rr_start, tile_m, interpret)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
 def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                    rr_start: int = 1, tile_m: int = mk.DEFAULT_TILE_M,
-                   static: SceneStatic | None = None):
-    """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance."""
+                   static: SceneStatic | None = None,
+                   backward: str = "pallas"):
+    """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance.
+
+    Differentiable w.r.t. scene geometry/spectra and the rays (o, d).
+    """
     if static is None:
         static = SceneStatic.from_scene(scene)
     r = o.shape[0]
@@ -72,26 +84,50 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     spect_p = jnp.zeros((s_n * 4, r_pad), jnp.float32).at[:, :r].set(spect)
     spect_p = spect_p.reshape(s_n * 4, m, LANES)
 
+    interpret = _use_interpret()
     fwd = _forward_cached(static, int(max_depth), int(rr_start), tile_m,
-                          _use_interpret())
-    out = fwd(mk.pack_prims(scene), rays, seeds, spect_p)  # (4, M, 128)
+                          interpret)
+
+    if backward == "pallas":
+        bwd = _backward_cached(static, int(max_depth), int(rr_start),
+                               tile_m, interpret)
+
+        @jax.custom_vjp
+        def call(prims_f, rays, spect_p):
+            return fwd(prims_f, rays, seeds, spect_p)
+
+        def call_fwd(prims_f, rays, spect_p):
+            return call(prims_f, rays, spect_p), (prims_f, rays, spect_p)
+
+        def call_bwd(res, g):
+            prims_f, rays_r, spect_r = res
+            dp, dr, dsp = bwd(prims_f, rays_r, seeds, spect_r, g)
+            return dp, dr, dsp
+
+        call.defvjp(call_fwd, call_bwd)
+        out = call(mk.pack_prims(scene), rays, spect_p)
+    else:
+        out = fwd(mk.pack_prims(scene), rays, seeds, spect_p)
     return out.reshape(4, r_pad)[:, :r].T  # (R, 4)
 
 
 def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
-                  static: SceneStatic | None = None):
+                  static: SceneStatic | None = None,
+                  backward: str = "pallas"):
     """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
 
-    Differentiable w.r.t. scene arrays via a recompute-vjp through the
-    XLA tracer (same RNG streams).
+    With backward="pallas" (default) this is a plain differentiable
+    composition: the kernel's custom_vjp covers the trace, XLA AD covers
+    camera ray-gen, the spectra gather, and the CIE conversion. With
+    backward="xla" the whole pixel function gets a recompute-vjp through
+    the XLA tracer instead.
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
     scene = scene_data.as_jax(scene)
     sample_u = jnp.asarray(sample, jnp.uint32)
 
-    @jax.custom_vjp
     def run(scene, sample_u):
         seed = rng.seed_pixel(px, py, sample_u)
         o, d, seed = cam_ops.camera_rays(
@@ -99,11 +135,21 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
             scene.camera.fov, width, height, px, py, sample_u, seed)
         lambdas, seed = spec.sample_wavelengths(seed)
         radiance = trace_radiance(scene, o, d, lambdas, seed, max_depth,
-                                  rr_start, static=static)
+                                  rr_start, static=static,
+                                  backward=backward)
         return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
 
+    if backward == "pallas":
+        return run(scene, sample_u)
+
+    import numpy as np
+
+    @jax.custom_vjp
+    def run_cv(scene, sample_u):
+        return run(scene, sample_u)
+
     def run_fwd(scene, sample_u):
-        return run(scene, sample_u), (scene, sample_u)
+        return run_cv(scene, sample_u), (scene, sample_u)
 
     def run_bwd(res, g):
         scene_res, sample_res = res
@@ -115,16 +161,17 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
         d_sample = np.zeros(np.shape(sample_res), dtype=jax.dtypes.float0)
         return d_scene, d_sample
 
-    run.defvjp(run_fwd, run_bwd)
-    return run(scene, sample_u)
+    run_cv.defvjp(run_fwd, run_bwd)
+    return run_cv(scene, sample_u)
 
 
 def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
-                  static: SceneStatic | None = None, **_):
+                  static: SceneStatic | None = None,
+                  backward: str = "pallas", **_):
     px, py = xla_tracer.tile_coords(width, height, 0)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
-                        rr_start, static=static)
+                        rr_start, static=static, backward=backward)
     return xyz.reshape(height, width, 3)
 
 

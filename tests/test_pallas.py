@@ -44,15 +44,17 @@ def test_accumulate_matches_xla(simple_scene):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_gradient_matches_xla(simple_scene):
-    """custom_vjp backward (recompute through XLA) equals XLA AD."""
+@pytest.mark.parametrize("backward", ["pallas", "xla"])
+def test_spectra_gradient_matches_xla(simple_scene, backward):
+    """Backward megakernel (and the XLA-recompute fallback) == XLA AD."""
     import jax
 
     w = h = 8
 
     def loss_pallas(spectra):
         s = simple_scene._replace(spectra=spectra)
-        img = pallas_tracer.render_sample(s, w, h, 1, max_depth=2)
+        img = pallas_tracer.render_sample(s, w, h, 1, max_depth=2,
+                                          backward=backward)
         return jnp.sum(img ** 2)
 
     def loss_xla(spectra):
@@ -65,3 +67,30 @@ def test_gradient_matches_xla(simple_scene):
     g_xla = np.asarray(jax.grad(loss_xla)(spectra))
     assert np.isfinite(g_pal).all()
     np.testing.assert_allclose(g_pal, g_xla, rtol=1e-3, atol=1e-5)
+
+
+def test_geometry_and_camera_gradient_matches_xla(simple_scene):
+    """The backward kernel's d_prims/d_rays reach geometry AND camera."""
+    import jax
+
+    w = h = 8
+
+    def loss(tracer, d1, eye):
+        s = simple_scene._replace(
+            primitives=simple_scene.primitives._replace(data1=d1),
+            camera=simple_scene.camera._replace(eye=eye))
+        img = tracer.render_sample(s, w, h, 1, max_depth=2)
+        return jnp.sum(img ** 2)
+
+    d1 = jnp.asarray(simple_scene.primitives.data1)
+    eye = jnp.asarray(simple_scene.camera.eye)
+    g_pal = jax.grad(lambda a, b: loss(pallas_tracer, a, b),
+                     argnums=(0, 1))(d1, eye)
+    g_xla = jax.grad(lambda a, b: loss(xla_tracer, a, b),
+                     argnums=(0, 1))(d1, eye)
+    for gp, gx in zip(g_pal, g_xla):
+        gp, gx = np.asarray(gp), np.asarray(gx)
+        assert np.isfinite(gp).all()
+        scale = max(np.abs(gx).max(), 1e-6)
+        np.testing.assert_allclose(gp / scale, gx / scale,
+                                   rtol=1e-3, atol=1e-4)
