@@ -99,7 +99,8 @@ def cmd_train(args) -> int:
     _, losses = opt.optimize(
         perturbed, target, w, h, trainable=tuple(args.trainable),
         steps=args.steps, learning_rate=args.lr, spp=args.spp,
-        max_depth=args.depth, checkpoint_dir=args.checkpoint_dir,
+        max_depth=args.depth, kernel=args.kernel,
+        checkpoint_dir=args.checkpoint_dir,
         callback=lambda i, loss, p: print(
             f"step {i:4d}  loss {loss:.6e}", file=sys.stderr))
     print(json.dumps({"initial_loss": losses[0], "final_loss": losses[-1],
@@ -152,6 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("train", help="gradient-based scene optimization")
     common(t)
+    t.add_argument("--kernel", choices=["xla", "pallas"], default="xla")
     t.add_argument("--steps", type=int, default=30)
     t.add_argument("--lr", type=float, default=0.05)
     t.add_argument("--trainable", nargs="+", default=["spectra"])

@@ -54,6 +54,32 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _call_with_vjp(fwd, bwd, prims_f, rays, seeds, spect_p):
+    """Kernel call whose backward is the Pallas backward megakernel.
+
+    seeds is an explicit (integer) argument — closing over it would leak
+    tracers across the custom_vjp boundary; its cotangent is float0."""
+    return fwd(prims_f, rays, seeds, spect_p)
+
+
+def _call_fwd(fwd, bwd, prims_f, rays, seeds, spect_p):
+    out = _call_with_vjp(fwd, bwd, prims_f, rays, seeds, spect_p)
+    return out, (prims_f, rays, seeds, spect_p)
+
+
+def _call_bwd(fwd, bwd, res, g):
+    import numpy as np
+
+    prims_f, rays, seeds, spect_p = res
+    dp, dr, dsp = bwd(prims_f, rays, seeds, spect_p, g)
+    d_seeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return dp, dr, d_seeds, dsp
+
+
+_call_with_vjp.defvjp(_call_fwd, _call_bwd)
+
+
 def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                    rr_start: int = 1, tile_m: int = mk.DEFAULT_TILE_M,
                    static: SceneStatic | None = None,
@@ -91,21 +117,8 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     if backward == "pallas":
         bwd = _backward_cached(static, int(max_depth), int(rr_start),
                                tile_m, interpret)
-
-        @jax.custom_vjp
-        def call(prims_f, rays, spect_p):
-            return fwd(prims_f, rays, seeds, spect_p)
-
-        def call_fwd(prims_f, rays, spect_p):
-            return call(prims_f, rays, spect_p), (prims_f, rays, spect_p)
-
-        def call_bwd(res, g):
-            prims_f, rays_r, spect_r = res
-            dp, dr, dsp = bwd(prims_f, rays_r, seeds, spect_r, g)
-            return dp, dr, dsp
-
-        call.defvjp(call_fwd, call_bwd)
-        out = call(mk.pack_prims(scene), rays, spect_p)
+        out = _call_with_vjp(fwd, bwd, mk.pack_prims(scene), rays, seeds,
+                             spect_p)
     else:
         out = fwd(mk.pack_prims(scene), rays, seeds, spect_p)
     return out.reshape(4, r_pad)[:, :r].T  # (R, 4)

@@ -57,13 +57,26 @@ def merge_scene(static_scene, params):
 
 
 def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
-                    first_sample=1, mesh=None, use_remat=True):
+                    first_sample=1, mesh=None, use_remat=True,
+                    kernel: str = "xla", kernel_static=None):
+    """Mean XYZ over spp samples; kernel: "xla" or "pallas" (megakernel
+    fwd+bwd — pass kernel_static=SceneStatic.from_scene(scene) when
+    tracing inside jit/grad)."""
+    if kernel == "pallas":
+        from computeraytracer_tpu.tracer import pallas as pallas_tracer
+        if kernel_static is None:
+            kernel_static = pallas_tracer.SceneStatic.from_scene(scene)
+        render_one = lambda s: pallas_tracer.render_sample(
+            scene, width, height, s, max_depth, rr_start,
+            static=kernel_static)
+    else:
+        render_one = lambda s: xla_tracer.render_sample(
+            scene, width, height, s, max_depth, rr_start, use_remat)
     if mesh is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
 
         def body(acc, s):
-            return acc + xla_tracer.render_sample(
-                scene, width, height, s, max_depth, rr_start, use_remat), None
+            return acc + render_one(s), None
 
         samples = (jnp.asarray(first_sample, jnp.uint32)
                    + jnp.arange(spp, dtype=jnp.uint32))
@@ -76,23 +89,29 @@ def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
 
 
 def make_loss_fn(static_scene, width, height, spp, max_depth,
-                 rr_start: int = 1, mesh=None, use_remat=True):
+                 rr_start: int = 1, mesh=None, use_remat=True,
+                 kernel: str = "xla"):
     """L2 loss in XYZ between the rendered mean and a target image."""
+    kernel_static = None
+    if kernel == "pallas":
+        from computeraytracer_tpu.tracer import pallas as pallas_tracer
+        kernel_static = pallas_tracer.SceneStatic.from_scene(static_scene)
 
     def loss_fn(params, target, first_sample):
         scene = merge_scene(static_scene, params)
         img = render_mean_xyz(scene, width, height, spp, max_depth,
-                              rr_start, first_sample, mesh, use_remat)
+                              rr_start, first_sample, mesh, use_remat,
+                              kernel, kernel_static)
         return jnp.mean((img - target) ** 2)
 
     return loss_fn
 
 
 def make_train_step(static_scene, optimizer, width, height, spp, max_depth,
-                    rr_start: int = 1, mesh=None):
+                    rr_start: int = 1, mesh=None, kernel: str = "xla"):
     """jitted (params, opt_state, target, first_sample) -> updated state."""
     loss_fn = make_loss_fn(static_scene, width, height, spp, max_depth,
-                           rr_start, mesh)
+                           rr_start, mesh, kernel=kernel)
 
     @jax.jit
     def step(params, opt_state, target, first_sample):
@@ -109,7 +128,7 @@ def optimize(scene, target, width, height, *, trainable=("spectra",),
              steps=50, learning_rate=0.05, spp=4, max_depth=4,
              rr_start: int = 1, mesh=None, checkpoint_dir: Optional[str] = None,
              checkpoint_every: int = 25, callback=None,
-             fresh_samples: bool = False):
+             fresh_samples: bool = False, kernel: str = "xla"):
     """Run the material/geometry optimization loop (config 4).
 
     fresh_samples=False (default) uses the SAME sample set every step
@@ -123,7 +142,7 @@ def optimize(scene, target, width, height, *, trainable=("spectra",),
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(static_scene, optimizer, width, height, spp,
-                              max_depth, rr_start, mesh)
+                              max_depth, rr_start, mesh, kernel=kernel)
     losses = []
     ckpt = None
     if checkpoint_dir is not None:

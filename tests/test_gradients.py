@@ -109,3 +109,15 @@ def test_optimize_reduces_loss(simple_scene):
     _, losses = opt.optimize(perturbed, target, w, h, steps=8,
                              learning_rate=0.05, spp=2, max_depth=3)
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_optimize_with_pallas_kernel(simple_scene):
+    """The optimization loop driven by the Pallas fwd+bwd megakernels."""
+    w = h = 12
+    target = opt.render_mean_xyz(simple_scene, w, h, spp=1, max_depth=2)
+    perturbed = simple_scene._replace(
+        spectra=jnp.asarray(simple_scene.spectra).at[2].mul(0.3))
+    _, losses = opt.optimize(perturbed, target, w, h, steps=6,
+                             learning_rate=0.05, spp=1, max_depth=2,
+                             kernel="pallas")
+    assert losses[-1] < losses[0] * 0.9, losses
