@@ -30,12 +30,17 @@ from computeraytracer_tpu.tracer import xla as xla_tracer
 
 def render_accumulate_sharded(scene, width: int, height: int, spp: int,
                               mesh, max_depth: int = 8, rr_start: int = 1,
-                              first_sample: int = 1, use_remat: bool = True):
+                              first_sample: int = 1, use_remat: bool = True,
+                              bvh=None):
     """Accumulated XYZ (H, W, 3) over spp samples, sharded over `mesh`.
 
     height must divide by mesh dp size; spp by mesh sp size. The result
     matches render_accumulate(...) (same seeds, same sample set) up to
-    f32 rounding.
+    f32 rounding. bvh (BVHArrays, replicated like the scene) switches
+    the per-device intersector to stackless BVH traversal — the
+    mesh-scale configs (BASELINE configs 3/5) shard exactly like the
+    few-primitive ones because the film plane, not the scene, is the
+    parallel axis.
     """
     dp = mesh.shape[DP_AXIS]
     sp = mesh.shape[SP_AXIS]
@@ -49,9 +54,9 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
     # check_vma=False: the path-trace scan mixes replicated scene data
     # into device-varying carries, which trips jax's varying-manual-axes
     # typing; semantics are unaffected (pure per-shard compute + psum).
-    @partial(shard_map, mesh=mesh, in_specs=(P(),),
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P()),
              out_specs=P(DP_AXIS, None, None), check_vma=False)
-    def fn(scene):
+    def fn(scene, bvh):
         dpi = jax.lax.axis_index(DP_AXIS)
         spi = jax.lax.axis_index(SP_AXIS)
         y0 = dpi.astype(jnp.uint32) * jnp.uint32(tile_h)
@@ -62,7 +67,7 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
                  * jnp.uint32(local_spp) + k)
             xyz = xla_tracer.render_pixels(
                 scene, width, height, px, py, s, max_depth, rr_start,
-                use_remat)
+                use_remat, bvh=bvh)
             return acc + xyz, None
 
         acc0 = jnp.zeros((tile_h * width, 3), jnp.float32)
@@ -71,4 +76,7 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
         acc = jax.lax.psum(acc, SP_AXIS)
         return acc.reshape(tile_h, width, 3)
 
-    return fn(scene)
+    if bvh is not None:
+        import jax.tree_util as jtu
+        bvh = jtu.tree_map(jnp.asarray, bvh)
+    return fn(scene, bvh)

@@ -64,10 +64,11 @@ class Checkpointer:
 
 
 def save_render_state(directory: str, accum_xyz, sample_count: int):
-    """Persist the progressive-render state (accumulator + counter)."""
-    Checkpointer(directory).save(
-        int(sample_count), {"accum_xyz": accum_xyz},
-        extra={"sample_count": np.int64(sample_count)})
+    """Persist the progressive-render state (accumulator + counter).
+
+    The checkpoint step IS the sample counter (the reference's `sample`
+    buffer, main.js:304-311)."""
+    Checkpointer(directory).save(int(sample_count), {"accum_xyz": accum_xyz})
 
 
 def load_render_state(directory: str, accum_like):

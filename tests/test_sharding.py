@@ -64,6 +64,23 @@ def test_sharded_gradient_matches_single_device(cornell_scene, mesh42):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_sharded_render_with_bvh_matches_brute(mesh42):
+    """Mesh-scale sharding (BASELINE config 5 shape): BVH replicated per
+    device, film rows sharded."""
+    from computeraytracer_tpu import bvh as bvh_mod
+    from computeraytracer_tpu.parallel import render_sharded as rs
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+
+    scene, _ = scene_from_dict(presets.mesh_scene(16, 16, subdivisions=2))
+    bvh = bvh_mod.scene_bvh(scene)
+    w = h = 16
+    single = xla_tracer.render_accumulate(scene, w, h, 2, max_depth=2,
+                                          bvh=bvh)
+    sharded = rs.render_accumulate_sharded(scene, w, h, 2, mesh42,
+                                           max_depth=2, bvh=bvh)
+    _assert_mostly_equal(np.asarray(sharded), np.asarray(single))
+
+
 def test_dryrun_multichip():
     import importlib.util
     import pathlib
