@@ -60,27 +60,78 @@ DEFAULT_TILE_M = 32  # 32 x 128 = 4096 rays per grid step
 N_DIFF = 16  # differentiable carry planes: o3 d3 L4 beta4 last_pdf eta_scale
 
 
-class SceneStatic(NamedTuple):
-    """Non-differentiable scene structure, static at kernel build."""
+class MeshPart(NamedTuple):
+    """A contiguous run of uniform-material triangles traced via the
+    chunked Morton scan (kernels/meshpack.py) instead of static
+    unrolling — the TPU answer to mesh-scale scenes."""
 
-    categories: tuple      # per prim: 0 patch, 1 sphere, 2 triangle
-    materials: tuple       # per prim material enum
-    emission_idx: tuple    # per prim spectrum row
+    start: int             # first primitive row of the run
+    count: int             # number of triangles
+    n_chunks: int          # ceil(count / 128)
+    material: int
+    emission_idx: int
+    reflectance_idx: int
+
+
+class SceneStatic(NamedTuple):
+    """Non-differentiable scene structure, static at kernel build.
+
+    rows lists the original primitive ids handled by the unrolled scan;
+    large uniform triangle runs become mesh_parts instead.
+    """
+
+    rows: tuple            # original row id of each unrolled primitive
+    categories: tuple      # aligned with rows: 0 patch, 1 sphere, 2 tri
+    materials: tuple
+    emission_idx: tuple
     reflectance_idx: tuple
-    light_rows: tuple      # primitive rows that are lights (in order)
+    light_rows: tuple      # original ids of lights (always unrolled)
     n_spectra: int
+    mesh_parts: tuple = ()
 
     @classmethod
-    def from_scene(cls, scene) -> "SceneStatic":
+    def from_scene(cls, scene, mesh_min: int = 256) -> "SceneStatic":
+        from computeraytracer_tpu.kernels import meshpack
+
         p = scene.primitives
+        cat = np.asarray(p.category)
+        mat = np.asarray(p.material)
+        emi = np.asarray(p.emission)
+        ref = np.asarray(p.reflectance)
+        n = cat.shape[0]
+
+        # maximal runs of triangles with uniform bindings -> mesh parts
+        parts = []
+        in_mesh = np.zeros(n, bool)
+        i = 0
+        while i < n:
+            if cat[i] == 2 and mat[i] != C.LIGHT:
+                j = i
+                while (j < n and cat[j] == 2 and mat[j] == mat[i]
+                       and emi[j] == emi[i] and ref[j] == ref[i]):
+                    j += 1
+                if j - i >= mesh_min:
+                    parts.append(MeshPart(
+                        start=int(i), count=int(j - i),
+                        n_chunks=-(-(j - i) // meshpack.TRIS_PER_CHUNK),
+                        material=int(mat[i]), emission_idx=int(emi[i]),
+                        reflectance_idx=int(ref[i])))
+                    in_mesh[i:j] = True
+                i = j
+            else:
+                i += 1
+
+        rows = tuple(int(r) for r in np.nonzero(~in_mesh)[0])
         return cls(
-            categories=tuple(int(x) for x in np.asarray(p.category)),
-            materials=tuple(int(x) for x in np.asarray(p.material)),
-            emission_idx=tuple(int(x) for x in np.asarray(p.emission)),
-            reflectance_idx=tuple(int(x) for x in np.asarray(p.reflectance)),
+            rows=rows,
+            categories=tuple(int(cat[r]) for r in rows),
+            materials=tuple(int(mat[r]) for r in rows),
+            emission_idx=tuple(int(emi[r]) for r in rows),
+            reflectance_idx=tuple(int(ref[r]) for r in rows),
             light_rows=tuple(int(x) for x in
                              np.asarray(scene.lights.prim_index)),
             n_spectra=int(scene.spectra.shape[0]),
+            mesh_parts=tuple(parts),
         )
 
 
@@ -168,11 +219,14 @@ def _rand_masked(seed, mask):
 # shared bounce physics, parameterized over how scene data is read
 # ---------------------------------------------------------------------------
 
-def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape):
-    """In-order closest-hit scan (wgsl:503-632 semantics).
+def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
+                     mesh_accessors=()):
+    """In-order closest-hit scan (wgsl:503-632 semantics) + mesh chunks.
 
-    getp(i, j): scalar element j of primitive row i (SMEM ref read in
-    the forward kernel; jnp array read under the backward's vjp).
+    getp(slot, j): scalar element j of unrolled-primitive slot (SMEM ref
+    read in the forward kernel; jnp array read under the backward's
+    vjp). mesh_accessors: per mesh part, (part, tri_read, bbox_read)
+    for the chunked Morton scan.
     Returns dict of (T,128) planes: hit, t, idx, pos, nrm.
     """
     inf = jnp.full(shape, jnp.inf, jnp.float32)
@@ -185,12 +239,12 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape):
     }
     d_dot_d = _vdot(d, d)
 
-    for i, cat in enumerate(static.categories):
+    for slot, (i, cat) in enumerate(zip(static.rows, static.categories)):
         not_excluded = exclude != i
         if cat in (0, 2):  # planar patch / triangle share the plane test
-            p0 = (getp(i, 0), getp(i, 1), getp(i, 2))
-            e1 = (getp(i, 3), getp(i, 4), getp(i, 5))
-            e2 = (getp(i, 6), getp(i, 7), getp(i, 8))
+            p0 = (getp(slot, 0), getp(slot, 1), getp(slot, 2))
+            e1 = (getp(slot, 3), getp(slot, 4), getp(slot, 5))
+            e2 = (getp(slot, 6), getp(slot, 7), getp(slot, 8))
             n_raw = _scalar_cross(e1, e2)
             n_len2 = n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1] + \
                 n_raw[2] * n_raw[2]
@@ -231,8 +285,8 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape):
             sgn = jnp.where(flip, -1.0, 1.0)
             n_eff = (sgn * n0[0], sgn * n0[1], sgn * n0[2])
         else:  # sphere
-            cx = (getp(i, 0), getp(i, 1), getp(i, 2))
-            radius = getp(i, 3)
+            cx = (getp(slot, 0), getp(slot, 1), getp(slot, 2))
+            radius = getp(slot, 3)
             co = _vsub(o, cx)
             a = d_dot_d
             b = 2.0 * _vdot(d, co)
@@ -255,28 +309,129 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape):
             "pos": _vwhere(valid, p, state["pos"]),
             "nrm": _vwhere(valid, n_eff, state["nrm"]),
         }
+
+    for part, tri_read, bbox_read in mesh_accessors:
+        state = _scan_mesh_part(part, tri_read, bbox_read, o, d, exclude,
+                                state, shape)
     state["hit"] = state["idx"] >= 0
     return state
+
+
+def _scan_mesh_part(part: "MeshPart", tri_read, bbox_read, o, d, exclude,
+                    state, shape):
+    """Chunked Morton scan of one mesh part (kernels/meshpack.py layout).
+
+    Per chunk: one AABB slab test over the whole ray tile (vector ops,
+    one scalar any()); `lax.cond` skips the 128 triangle tests when no
+    ray can hit the box. Triangle tests broadcast one triangle's scalars
+    over all lanes — sequential reads, zero gathers. Ties break toward
+    the HIGHER primitive id (the order-free form of the reference's
+    in-order last-wins; mesh ids are the highest in the scene, and
+    Morton order shuffles only within the part).
+    """
+    from computeraytracer_tpu.kernels import meshpack
+
+    # slab test needs 1/d with the sign preserved for axis-parallel rays
+    inv_d = []
+    for c in range(3):
+        tiny = jnp.abs(d[c]) < 1e-12
+        sign = jnp.where(d[c] < 0.0, -1.0, 1.0)
+        inv_d.append(jnp.where(tiny, sign * jnp.float32(1e30),
+                               1.0 / jnp.where(tiny, 1.0, d[c])))
+
+    def chunk_step(k, carry):
+        t_best, idx_best, pos, nrm = carry
+        bb = bbox_read(k)  # (1, 8): [lo.xyz, hi.xyz, pad, pad]
+        t_enter = jnp.full(shape, -jnp.inf, jnp.float32)
+        t_exit = jnp.full(shape, jnp.inf, jnp.float32)
+        for c in range(3):
+            t0 = (bb[0, c] - o[c]) * inv_d[c]
+            t1 = (bb[0, 3 + c] - o[c]) * inv_d[c]
+            t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+            t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+        hit_box = (t_enter <= t_exit) & (t_exit >= T_MIN) & \
+            (t_enter <= t_best)
+
+        def scan_chunk(carry):
+            def row_step(rr, carry):
+                t_best, idx_best, pos, nrm = carry
+                rowv = tri_read(k * meshpack.ROWS_PER_CHUNK + rr)  # (1,128)
+                for j in range(meshpack.TRIS_PER_ROW):
+                    b = meshpack.LANES_PER_TRI * j
+                    p0 = (rowv[0, b + 0], rowv[0, b + 1], rowv[0, b + 2])
+                    e1 = (rowv[0, b + 3], rowv[0, b + 4], rowv[0, b + 5])
+                    e2 = (rowv[0, b + 6], rowv[0, b + 7], rowv[0, b + 8])
+                    tid = rowv[0, b + 9].astype(jnp.int32)
+                    # mirror the unrolled triangle branch exactly
+                    n_raw = _scalar_cross(e1, e2)
+                    n_len2 = (n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1]
+                              + n_raw[2] * n_raw[2])
+                    inv_len = 1.0 / jnp.sqrt(jnp.maximum(n_len2, 1e-30))
+                    n0 = (n_raw[0] * inv_len, n_raw[1] * inv_len,
+                          n_raw[2] * inv_len)
+                    ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
+                    flip = ndotd > 0.0
+                    grazing = jnp.abs(
+                        jnp.where(flip, -ndotd, ndotd)) < 1e-4
+                    num = (n0[0] * (p0[0] - o[0]) + n0[1] * (p0[1] - o[1])
+                           + n0[2] * (p0[2] - o[2]))
+                    t = num / jnp.where(grazing, 1.0, ndotd)
+                    pvec = _vcross(d, e2)
+                    det = _vdot(e1, pvec)
+                    degenerate = jnp.abs(det) < 1e-9
+                    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+                    tvec = _vsub(o, p0)
+                    u = _vdot(tvec, pvec) * inv_det
+                    qvec = _vcross(tvec, e1)
+                    v = _vdot(d, qvec) * inv_det
+                    inside = (~degenerate) & (u >= 0.0) & (v >= 0.0) & \
+                        (u + v <= 1.0)
+                    valid = ((exclude != tid) & (tid >= 0) & ~grazing
+                             & inside & (t >= T_MIN)
+                             & ((t < t_best)
+                                | ((t == t_best) & (tid > idx_best))))
+                    sgn = jnp.where(flip, -1.0, 1.0)
+                    p = _vadd(o, _vscale(t, d))
+                    t_best = jnp.where(valid, t, t_best)
+                    idx_best = jnp.where(valid, tid, idx_best)
+                    pos = _vwhere(valid, p, pos)
+                    nrm = _vwhere(valid, (sgn * n0[0], sgn * n0[1],
+                                          sgn * n0[2]), nrm)
+                return t_best, idx_best, pos, nrm
+
+            return jax.lax.fori_loop(0, meshpack.ROWS_PER_CHUNK, row_step,
+                                     carry)
+
+        return jax.lax.cond(jnp.any(hit_box), scan_chunk, lambda c: c,
+                            carry)
+
+    carry = (state["t"], state["idx"], state["pos"], state["nrm"])
+    t, idx, pos, nrm = jax.lax.fori_loop(0, part.n_chunks, chunk_step,
+                                         carry)
+    return {"t": t, "idx": idx, "pos": pos, "nrm": nrm}
 
 
 def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
     """One bounce of the path-trace loop (wgsl:133-293) over all lanes.
 
-    Returns bounce(getp, gets, diff, nondiff, depth) -> (diff, nondiff):
-      getp(i, j)  scalar element of primitive row i
+    Returns bounce(getp, gets, diff, nondiff, depth, mesh_accessors):
+      getp(slot, j)  scalar element of unrolled-primitive slot
       gets(row)   4-tuple of (T,128) planes: spectrum `row` at the
                   ray's hero wavelengths
       diff        (o3, d3, L4, beta4, last_pdf, eta_scale) float planes
       nondiff     (seed u32x4, exclude i32, specular/in_trans/active bool)
+      mesh_accessors: per mesh part, (part, tri_read, bbox_read)
+    -> (diff, nondiff).
     """
-    n_prims = len(static.categories)
     S = static.n_spectra
     n_lights = len(static.light_rows)
+    lslot = {lr: static.rows.index(lr) for lr in static.light_rows}
 
     def light_pdf(getp, l_row, n_at_light, ray_dir, l_pos, r_origin):
         """compute_light_pdf (wgsl:357-377) for a static light row."""
-        e1 = (getp(l_row, 3), getp(l_row, 4), getp(l_row, 5))
-        e2 = (getp(l_row, 6), getp(l_row, 7), getp(l_row, 8))
+        sl = lslot[l_row]
+        e1 = (getp(sl, 3), getp(sl, 4), getp(sl, 5))
+        e2 = (getp(sl, 6), getp(sl, 7), getp(sl, 8))
         area = jnp.sqrt(jnp.maximum(
             e1[0] ** 2 + e1[1] ** 2 + e1[2] ** 2, 1e-30)) * jnp.sqrt(
             jnp.maximum(e2[0] ** 2 + e2[1] ** 2 + e2[2] ** 2, 1e-30))
@@ -291,42 +446,56 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
         r = g / jnp.maximum(f, 1e-12)
         return 1.0 / (1.0 + r * r)
 
-    def bounce(getp, gets, diff, nondiff, depth):
+    def bounce(getp, gets, diff, nondiff, depth, mesh_accessors=()):
         o, d, L, beta, last_pdf, eta_scale = diff
         seed, exclude, specular, in_trans, active = nondiff
         one = jnp.ones(shape, jnp.float32)
         zero = jnp.zeros(shape, jnp.float32)
         inv_pi = jnp.float32(1.0 / math.pi)
 
-        hit = _scan_primitives(static, getp, o, d, exclude, shape)
+        hit = _scan_primitives(static, getp, o, d, exclude, shape,
+                               mesh_accessors)
         lane_hit = active & hit["hit"]
         active = lane_hit
         exclude = jnp.where(lane_hit, hit["idx"], exclude)
         idx = hit["idx"]
 
-        # material mask from static table
+        # material mask from static table (+ mesh-part id ranges)
         mat_light = jnp.zeros(shape, bool)
         mat_diffuse = jnp.zeros(shape, bool)
         mat_glass = jnp.zeros(shape, bool)
         mat_mirror = jnp.zeros(shape, bool)
-        for i, m in enumerate(static.materials):
-            sel = idx == i
-            if m == C.LIGHT:
-                mat_light = mat_light | sel
-            elif m == C.DIFFUSE:
-                mat_diffuse = mat_diffuse | sel
-            elif m == C.GLASS:
-                mat_glass = mat_glass | sel
-            elif m == C.MIRROR:
-                mat_mirror = mat_mirror | sel
 
-        # ---- emissive hit (wgsl:149-164)
+        def or_material(m, sel, masks):
+            ml, md, mg, mm = masks
+            if m == C.LIGHT:
+                ml = ml | sel
+            elif m == C.DIFFUSE:
+                md = md | sel
+            elif m == C.GLASS:
+                mg = mg | sel
+            elif m == C.MIRROR:
+                mm = mm | sel
+            return ml, md, mg, mm
+
+        masks = (mat_light, mat_diffuse, mat_glass, mat_mirror)
+        for i, m in zip(static.rows, static.materials):
+            masks = or_material(m, idx == i, masks)
+        part_sels = []
+        for part, _, _ in mesh_accessors:
+            sel = (idx >= part.start) & (idx < part.start + part.count)
+            part_sels.append(sel)
+            masks = or_material(part.material, sel, masks)
+        mat_light, mat_diffuse, mat_glass, mat_mirror = masks
+
+        # ---- emissive hit (wgsl:149-164); mesh parts are never lights
         is_light = lane_hit & mat_light
         le = [zero] * 4
-        for i in range(n_prims):
-            if static.materials[i] == C.LIGHT:
+        for i, m, ei in zip(static.rows, static.materials,
+                            static.emission_idx):
+            if m == C.LIGHT:
                 sel = idx == i
-                emis = gets(static.emission_idx[i])
+                emis = gets(ei)
                 le = [jnp.where(sel, emis[j], le[j]) for j in range(4)]
         pdf_l_hit = zero
         for lr in static.light_rows:
@@ -365,10 +534,15 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
         v_h, seed = _rand_masked(seed, is_diffuse)
 
         brdf = [zero] * 4
-        for i in range(n_prims):
-            if static.materials[i] == C.DIFFUSE:
+        for i, m, ri in zip(static.rows, static.materials,
+                            static.reflectance_idx):
+            if m == C.DIFFUSE:
                 sel = idx == i
-                refl = gets(static.reflectance_idx[i])
+                refl = gets(ri)
+                brdf = [jnp.where(sel, refl[j], brdf[j]) for j in range(4)]
+        for (part, _, _), sel in zip(mesh_accessors, part_sels):
+            if part.material == C.DIFFUSE:
+                refl = gets(part.reflectance_idx)
                 brdf = [jnp.where(sel, refl[j], brdf[j]) for j in range(4)]
         brdf = [b * inv_pi for b in brdf]
 
@@ -378,15 +552,16 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
         nee = [zero] * 4
         for l_i, lr in enumerate(static.light_rows):
             lsel = is_diffuse & (li == l_i)
-            l_o = (getp(lr, 0), getp(lr, 1), getp(lr, 2))
-            l_e1 = (getp(lr, 3), getp(lr, 4), getp(lr, 5))
-            l_e2 = (getp(lr, 6), getp(lr, 7), getp(lr, 8))
+            sl = lslot[lr]
+            l_o = (getp(sl, 0), getp(sl, 1), getp(sl, 2))
+            l_e1 = (getp(sl, 3), getp(sl, 4), getp(sl, 5))
+            l_e2 = (getp(sl, 6), getp(sl, 7), getp(sl, 8))
             p_l = (l_o[0] + u_p * l_e1[0] + v_p * l_e2[0],
                    l_o[1] + u_p * l_e1[1] + v_p * l_e2[1],
                    l_o[2] + u_p * l_e1[2] + v_p * l_e2[2])
             ldir = _vnormalize(_vsub(p_l, hit["pos"]))
             sh = _scan_primitives(static, getp, hit["pos"], ldir,
-                                  hit["idx"], shape)
+                                  hit["idx"], shape, mesh_accessors)
             unocc = sh["hit"] & (sh["idx"] == lr)
             cos_t = jnp.maximum(0.0, _vdot(hit["nrm"], ldir))
             pdf_l = light_pdf(getp, lr, sh["nrm"], ldir, sh["pos"],
@@ -396,7 +571,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
             scale = jnp.where(lsel & unocc,
                               cos_t * w_l / jnp.maximum(pdf_l, 1e-12),
                               0.0)
-            l_emis = gets(static.emission_idx[lr])
+            l_emis = gets(static.emission_idx[lslot[lr]])
             nee = [nee[j] + l_emis[j] * scale for j in range(4)]
         L = tuple(L[j] + brdf[j] * nee[j] * beta[j] for j in range(4))
 
@@ -554,23 +729,38 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
     """Build the forward megakernel for a fixed scene structure.
 
     Returns f(prims_f (P,12) f32, rays (6,M,128), seeds (4,M,128) u32,
-    spect (S*4, M, 128)) -> radiance (4, M, 128).
+    spect (S*4, M, 128), *mesh_arrays) -> radiance (4, M, 128), where
+    mesh_arrays is (tri_rows, chunk_bbox) per SceneStatic.mesh_part
+    (kernels/meshpack.py layout), replicated to every ray tile.
     """
     S = static.n_spectra
     shape = (tile_m, LANES)
     bounce = make_bounce(static, shape, max_depth, rr_start)
+    parts = static.mesh_parts
 
-    def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, out_ref):
+    def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, *rest):
+        mesh_refs, out_ref = rest[:-1], rest[-1]
         getp = lambda i, j: prims_ref[i, j]
         gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
                                  for j in range(4))
+        accessors = []
+        for pi, part in enumerate(parts):
+            tri_ref = mesh_refs[2 * pi]
+            bbox_ref = mesh_refs[2 * pi + 1]
+            accessors.append((
+                part,
+                lambda r, _t=tri_ref: _t[pl.ds(r, 1), :],
+                lambda k, _b=bbox_ref: _b[pl.ds(k, 1), :],
+            ))
+        accessors = tuple(accessors)
         diff, nondiff = _init_carry(rays_ref, seeds_ref, shape)
         carry = _pack_diff(diff) + _pack_nd(nondiff)
 
         def body(depth, carry):
             diff = _unpack_diff(carry[:N_DIFF])
             nondiff = _unpack_nd(carry[N_DIFF:])
-            diff, nondiff = bounce(getp, gets, diff, nondiff, depth)
+            diff, nondiff = bounce(getp, gets, diff, nondiff, depth,
+                                   accessors)
             return _pack_diff(diff) + _pack_nd(nondiff)
 
         carry = jax.lax.fori_loop(0, max_depth + 1, body, carry)
@@ -579,10 +769,15 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
             out_ref[j, :, :] = L[j]
 
     @jax.jit
-    def forward(prims_f, rays, seeds, spect):
+    def forward(prims_f, rays, seeds, spect, *mesh_arrays):
         m = rays.shape[1]
         grid = (m // tile_m,)
         s4 = S * 4
+        mesh_specs = []
+        for _ in parts:
+            # whole arrays, same block for every tile (index_map const)
+            mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -594,12 +789,13 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((s4, tile_m, LANES), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
+                *mesh_specs,
             ],
             out_specs=pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((4, m, LANES), jnp.float32),
             interpret=interpret,
-        )(prims_f, rays, seeds, spect)
+        )(prims_f, rays, seeds, spect, *mesh_arrays)
 
     return forward
 
@@ -623,6 +819,10 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
     the shared bounce function — the Pallas analogue of
     jax.checkpoint-per-scan-step on the XLA tracer.
     """
+    if static.mesh_parts:
+        raise NotImplementedError(
+            "backward megakernel does not support mesh parts yet; use "
+            "backward='xla' (tracer/pallas.py falls back automatically)")
     n_prims = len(static.categories)
     S = static.n_spectra
     s4 = S * 4
@@ -738,11 +938,17 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
     return backward
 
 
-def pack_prims(scene) -> jnp.ndarray:
-    """(P, 12) f32: [origin/center xyz, edge1/radius xyz, edge2 xyz, pad].
+def pack_prims(scene, static: SceneStatic | None = None) -> jnp.ndarray:
+    """(P_unrolled, 12) f32: [origin/center, edge1/radius, edge2, pad].
 
     Sphere rows put the radius at column 3 (edge1.x), matching the
-    reference's (r, r, r) packing of data2 (main.js:239)."""
+    reference's (r, r, r) packing of data2 (main.js:239). With a static
+    that has mesh parts, only the unrolled rows are packed (mesh
+    geometry travels via kernels/meshpack.py instead); the row gather is
+    a fixed-index jnp op so gradients scatter back to the scene."""
     p = scene.primitives
-    return jnp.concatenate(
+    full = jnp.concatenate(
         [p.data1, p.data2, p.data3, jnp.zeros_like(p.data1)], axis=-1)
+    if static is None or not static.mesh_parts:
+        return full
+    return full[jnp.asarray(static.rows, jnp.int32)]

@@ -80,16 +80,35 @@ def _call_bwd(fwd, bwd, res, g):
 _call_with_vjp.defvjp(_call_fwd, _call_bwd)
 
 
+def mesh_packs_for(scene, static: SceneStatic):
+    """Host-side chunk packing for every mesh part (needs a concrete
+    scene: Morton order is data-dependent)."""
+    from computeraytracer_tpu.kernels import meshpack
+    return tuple(meshpack.pack_scene_mesh(scene, part)
+                 for part in static.mesh_parts)
+
+
 def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                    rr_start: int = 1, tile_m: int = mk.DEFAULT_TILE_M,
                    static: SceneStatic | None = None,
-                   backward: str = "pallas"):
+                   backward: str = "pallas", mesh_packs=None):
     """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance.
 
     Differentiable w.r.t. scene geometry/spectra and the rays (o, d).
+    Scenes whose static has mesh_parts run the chunked Morton mesh scan
+    (forward only — gradients use the backward='xla' fallback at the
+    render_pixels level).
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
+    mesh_arrays = ()
+    if static.mesh_parts:
+        if mesh_packs is None:
+            mesh_packs = mesh_packs_for(scene, static)
+        mesh_arrays = tuple(
+            jnp.asarray(a) for p in mesh_packs
+            for a in (p.tri_rows, p.chunk_bbox))
+        backward = "none"  # handled by render_pixels' xla fallback
     r = o.shape[0]
     tile = tile_m * LANES
     r_pad = ((r + tile - 1) // tile) * tile
@@ -117,27 +136,30 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     if backward == "pallas":
         bwd = _backward_cached(static, int(max_depth), int(rr_start),
                                tile_m, interpret)
-        out = _call_with_vjp(fwd, bwd, mk.pack_prims(scene), rays, seeds,
-                             spect_p)
+        out = _call_with_vjp(fwd, bwd, mk.pack_prims(scene, static), rays,
+                             seeds, spect_p)
     else:
-        out = fwd(mk.pack_prims(scene), rays, seeds, spect_p)
+        out = fwd(mk.pack_prims(scene, static), rays, seeds, spect_p,
+                  *mesh_arrays)
     return out.reshape(4, r_pad)[:, :r].T  # (R, 4)
 
 
 def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
-                  backward: str = "pallas"):
+                  backward: str = "pallas", mesh_packs=None):
     """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
 
     With backward="pallas" (default) this is a plain differentiable
     composition: the kernel's custom_vjp covers the trace, XLA AD covers
     camera ray-gen, the spectra gather, and the CIE conversion. With
-    backward="xla" the whole pixel function gets a recompute-vjp through
-    the XLA tracer instead.
+    backward="xla" (forced when the static has mesh parts) the whole
+    pixel function gets a recompute-vjp through the XLA tracer instead.
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
+    if static.mesh_parts and backward == "pallas":
+        backward = "xla"
     scene = scene_data.as_jax(scene)
     sample_u = jnp.asarray(sample, jnp.uint32)
 
@@ -149,7 +171,8 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
         lambdas, seed = spec.sample_wavelengths(seed)
         radiance = trace_radiance(scene, o, d, lambdas, seed, max_depth,
                                   rr_start, static=static,
-                                  backward=backward)
+                                  backward=backward,
+                                  mesh_packs=mesh_packs)
         return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
 
     if backward == "pallas":
@@ -181,21 +204,27 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
 def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
-                  backward: str = "pallas", **_):
+                  backward: str = "pallas", mesh_packs=None, **_):
+    if static is None:
+        static = SceneStatic.from_scene(scene)
+    if static.mesh_parts and mesh_packs is None:
+        mesh_packs = mesh_packs_for(scene, static)
     px, py = xla_tracer.tile_coords(width, height, 0)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
-                        rr_start, static=static, backward=backward)
+                        rr_start, static=static, backward=backward,
+                        mesh_packs=mesh_packs)
     return xyz.reshape(height, width, 3)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "static", "width", "height", "spp", "max_depth", "rr_start",
     "first_sample"))
-def _render_accumulate_jit(scene, static, width, height, spp, max_depth,
-                           rr_start, first_sample):
+def _render_accumulate_jit(scene, static, mesh_packs, width, height, spp,
+                           max_depth, rr_start, first_sample):
     def body(accum, s):
         return accum + render_sample(scene, width, height, s, max_depth,
-                                     rr_start, static=static), None
+                                     rr_start, static=static,
+                                     mesh_packs=mesh_packs), None
 
     accum0 = jnp.zeros((height, width, 3), jnp.float32)
     samples = jnp.arange(first_sample, first_sample + spp, dtype=jnp.uint32)
@@ -207,5 +236,7 @@ def render_accumulate(scene, width: int, height: int, spp: int,
                       max_depth: int = 8, rr_start: int = 1,
                       first_sample: int = 1):
     static = SceneStatic.from_scene(scene)
-    return _render_accumulate_jit(scene, static, width, height, spp,
-                                  max_depth, rr_start, first_sample)
+    mesh_packs = (mesh_packs_for(scene, static)
+                  if static.mesh_parts else None)
+    return _render_accumulate_jit(scene, static, mesh_packs, width, height,
+                                  spp, max_depth, rr_start, first_sample)

@@ -44,6 +44,51 @@ def test_accumulate_matches_xla(simple_scene):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_mesh_chunk_scan_matches_xla():
+    """Chunked Morton mesh scan (kernels/meshpack.py) == XLA brute scan.
+
+    mesh_min=64 forces the 320-tri icosphere into a MeshPart, so the
+    kernel runs the lax.cond chunk-culled path with 3 chunks."""
+    from computeraytracer_tpu.kernels.megakernel import SceneStatic
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+
+    scene, _ = scene_from_dict(presets.mesh_scene(12, 12, subdivisions=2))
+    static = SceneStatic.from_scene(scene, mesh_min=64)
+    assert static.mesh_parts and static.mesh_parts[0].count == 320
+    want = np.asarray(xla_tracer.render_sample(scene, 12, 12, 1,
+                                               max_depth=3))
+    got = np.asarray(pallas_tracer.render_sample(scene, 12, 12, 1,
+                                                 max_depth=3,
+                                                 static=static))
+    denom = np.maximum(np.abs(want), 1e-2)
+    rel = np.abs(got - want) / denom
+    assert (rel < 1e-4).all(axis=-1).mean() >= 0.999, rel.max()
+
+
+def test_mesh_scene_gradients_fall_back_to_xla():
+    """Mesh-part scenes auto-fallback to the XLA recompute vjp."""
+    import jax
+
+    from computeraytracer_tpu.kernels.megakernel import SceneStatic
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+
+    scene, _ = scene_from_dict(presets.mesh_scene(8, 8, subdivisions=1))
+    static = SceneStatic.from_scene(scene, mesh_min=16)
+    assert static.mesh_parts
+
+    def loss(tracer, spectra, **kw):
+        s = scene._replace(spectra=spectra)
+        return jnp.sum(tracer.render_sample(s, 8, 8, 1, max_depth=2,
+                                            **kw) ** 2)
+
+    sp = jnp.asarray(scene.spectra)
+    g_pal = np.asarray(jax.grad(
+        lambda a: loss(pallas_tracer, a, static=static))(sp))
+    g_xla = np.asarray(jax.grad(lambda a: loss(xla_tracer, a))(sp))
+    assert np.isfinite(g_pal).all()
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.parametrize("backward", ["pallas", "xla"])
 def test_spectra_gradient_matches_xla(simple_scene, backward):
     """Backward megakernel (and the XLA-recompute fallback) == XLA AD."""
