@@ -27,14 +27,26 @@ import sys
 import time
 
 
-def _time(fn, iters: int = 3) -> float:
+def _sync(x):
+    """Force completion with a real host copy of one leaf — under the
+    remote-TPU tunnel, block_until_ready alone has been observed to
+    return before execution finishes."""
     import jax
+    import numpy as np
 
-    jax.block_until_ready(fn())  # warmup/compile
+    jax.block_until_ready(x)
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(leaves[0]).ravel()[:1]
+    return x
+
+
+def _time(fn, iters: int = 3) -> float:
+    _sync(fn())  # warmup/compile
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -50,6 +62,11 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: re-runs skip the ~3-minute XLA compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/crt_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from computeraytracer_tpu.scene import presets, scene_from_dict
     from computeraytracer_tpu.tracer import pallas as pallas_tracer

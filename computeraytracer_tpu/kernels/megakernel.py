@@ -757,11 +757,18 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         carry = _pack_diff(diff) + _pack_nd(nondiff)
 
         def body(depth, carry):
-            diff = _unpack_diff(carry[:N_DIFF])
-            nondiff = _unpack_nd(carry[N_DIFF:])
-            diff, nondiff = bounce(getp, gets, diff, nondiff, depth,
-                                   accessors)
-            return _pack_diff(diff) + _pack_nd(nondiff)
+            def do(carry):
+                diff = _unpack_diff(carry[:N_DIFF])
+                nondiff = _unpack_nd(carry[N_DIFF:])
+                diff, nondiff = bounce(getp, gets, diff, nondiff, depth,
+                                       accessors)
+                return _pack_diff(diff) + _pack_nd(nondiff)
+
+            # a bounce over an all-dead tile is the identity (every
+            # update is masked by `active`) — skip it; RR kills most
+            # paths well before max_depth, so late trips are often free
+            return jax.lax.cond(jnp.any(carry[-1] != 0), do,
+                                lambda c: c, carry)
 
         carry = jax.lax.fori_loop(0, max_depth + 1, body, carry)
         L = _unpack_diff(carry[:N_DIFF])[2]
