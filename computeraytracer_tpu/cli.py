@@ -53,6 +53,14 @@ def cmd_render(args) -> int:
         print(f"BVH: {bvh.n_nodes} nodes over {n_prims} primitives "
               f"({time.perf_counter() - t0:.2f}s)", file=sys.stderr)
 
+    profile_cm = None
+    if args.profile:
+        from computeraytracer_tpu.utils import profiling
+        profile_cm = profiling.trace(args.profile)
+        profile_cm.__enter__()
+        print(f"tracing to {args.profile} (view: tensorboard --logdir)",
+              file=sys.stderr)
+
     meter = RenderMeter(jsonl_path=args.metrics)
     meter.start()
     if args.sharded:
@@ -70,6 +78,8 @@ def cmd_render(args) -> int:
         accum = xla_tracer.render_accumulate(
             scene, w, h, spp=args.spp, max_depth=args.depth, bvh=bvh)
     accum = jax.block_until_ready(accum)
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
     rec = meter.stop(paths=w * h * args.spp, width=w, height=h,
                      spp=args.spp, kernel=args.kernel)
     print(json.dumps(rec), file=sys.stderr)
@@ -149,6 +159,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard over all visible devices")
     r.add_argument("--exposure", type=float, default=2.2)
     r.add_argument("--metrics", help="append metrics JSONL here")
+    r.add_argument("--profile", help="capture an XProf trace to this dir")
     r.set_defaults(fn=cmd_render)
 
     t = sub.add_parser("train", help="gradient-based scene optimization")
