@@ -103,11 +103,18 @@ def sample_spectrum(spectra, index, lambdas):
 def sample_cie(cie, lambdas):
     """cie: (3, 471); lambdas (..., 4) -> (..., 3, 4) response rows.
 
-    lambdas+40 maps the 400nm-based wavelength index into the 360nm-based
-    CIE tables (wgsl:324-338).
+    The reference indexes the 360nm-based CIE tables at lambda+40
+    (wgsl:324-338); every runtime index lies in [40, 341) because
+    wavelength indices wrap mod 301 (sample_wavelengths), so the +40
+    offset is applied by pre-slicing. One row-indexed gather of the
+    (301, 3) transposed window replaces three scalar gathers of the
+    full tables — each gathered row is contiguous, the layout TPU
+    gathers want; this was the single hottest op in the whole forward
+    pass (3 x 8.6ms at 512^2, >3x the Pallas trace kernel itself).
     """
-    idx = lambdas + jnp.int32(C.CIE_OFFSET)
-    return jnp.stack([cie[k][idx] for k in range(3)], axis=-2)
+    window = jnp.swapaxes(
+        cie[:, C.CIE_OFFSET:C.CIE_OFFSET + C.N_LAMBDA], 0, 1)  # (301, 3)
+    return jnp.swapaxes(window[lambdas], -1, -2)  # (..., 3, 4)
 
 
 def spectral_to_xyz(cie, radiance, lambdas):

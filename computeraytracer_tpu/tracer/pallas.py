@@ -115,19 +115,26 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     m = r_pad // LANES
 
     def to_planes(x, dtype):
-        # (R, k) -> (k, M, 128), zero-padded
+        # (R, k) -> (k, M, 128), zero-padded only when R isn't
+        # tile-aligned (it is for every power-of-two resolution)
         k = x.shape[1]
-        xt = jnp.zeros((k, r_pad), dtype).at[:, :r].set(x.T.astype(dtype))
+        xt = x.T.astype(dtype)
+        if r_pad != r:
+            xt = jnp.zeros((k, r_pad), dtype).at[:, :r].set(xt)
         return xt.reshape(k, m, LANES)
 
     rays = to_planes(jnp.concatenate([o, d], axis=-1), jnp.float32)
     seeds = to_planes(seed, jnp.uint32)
-    # per-ray table of every spectrum at the ray's 4 wavelengths
-    spect = scene.spectra[:, lambdas]          # (S, R, 4)
-    s_n = spect.shape[0]
-    spect = jnp.moveaxis(spect, -1, 1).reshape(s_n * 4, r)  # (S*4, R)
-    spect_p = jnp.zeros((s_n * 4, r_pad), jnp.float32).at[:, :r].set(spect)
-    spect_p = spect_p.reshape(s_n * 4, m, LANES)
+    # per-ray table of every spectrum at the ray's 4 wavelengths, via
+    # one row-indexed gather of the transposed table (contiguous rows —
+    # same layout trick as ops/spectrum.sample_cie)
+    s_n = scene.spectra.shape[0]
+    rows = jnp.swapaxes(scene.spectra, 0, 1)[lambdas]      # (R, 4, S)
+    spect = jnp.transpose(rows, (2, 1, 0)).reshape(s_n * 4, r)
+    if r_pad != r:
+        spect = jnp.zeros((s_n * 4, r_pad),
+                          jnp.float32).at[:, :r].set(spect)
+    spect_p = spect.reshape(s_n * 4, m, LANES)
 
     interpret = _use_interpret()
     fwd = _forward_cached(static, int(max_depth), int(rr_start), tile_m,
