@@ -18,9 +18,13 @@ Findings log (1 TPU v5e chip via remote tunnel, 512^2 d8):
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _sync_scalar(x):

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Run the five staged configs from BASELINE.json and emit JSON records.
+
+Each config prints one JSON line {"config": N, ...}. Configs that exceed
+a single chip (config 5 is specified for a multi-host pod slice at
+2048^2 x 64 spp over ~1M tris) run a scaled-down shape by default and
+say so in the record — pass --full to attempt the specified shape.
+
+    python benchmarks/staged_configs.py            # configs 1-4
+    python benchmarks/staged_configs.py --configs 5 --full
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _emit(rec):
+    print(json.dumps(rec), flush=True)
+
+
+def _time_render(render_fn, paths, iters=2):
+    import jax
+
+    jax.block_until_ready(render_fn())  # compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(render_fn())
+        np.asarray(out).ravel()[:1]
+        best = min(best, time.perf_counter() - t0)
+    return best, paths / best / 1e6
+
+
+def config1():
+    """Few-primitive scene, 256^2, 1 spp, primary rays: Pallas vs the
+    XLA tracer (itself pinned to the scalar CPU oracle in tests/)."""
+    import jax.numpy as jnp
+
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+    from computeraytracer_tpu.tracer import xla as xt
+
+    w = h = 256
+    scene, _ = scene_from_dict(presets.simple_scene(w, h))
+    static = pt.SceneStatic.from_scene(scene)
+    a = pt.render_sample(scene, w, h, 1, max_depth=1, static=static)
+    b = xt.render_sample(scene, w, h, 1, max_depth=1)
+    err = float(jnp.max(jnp.abs(a - b)))
+    t, mpaths = _time_render(
+        lambda: pt.render_sample(scene, w, h, 1, max_depth=1,
+                                 static=static), w * h)
+    _emit({"config": 1, "scene": "simple 256^2 1spp depth1",
+           "max_abs_err_vs_xla": err, "allclose": err < 1e-4,
+           "seconds": round(t, 4), "mpaths_per_s": round(mpaths, 3)})
+
+
+def config2():
+    """Cornell ~1K-primitive-scale scene, 512^2, 4-bounce diffuse."""
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    w = h = 512
+    spp = 4
+    scene, _ = scene_from_dict(presets.cornell_box(w, h))
+    t, mpaths = _time_render(
+        lambda: pt.render_accumulate(scene, w, h, spp=spp, max_depth=4),
+        w * h * spp)
+    _emit({"config": 2, "scene": "cornell 512^2 4spp depth4",
+           "seconds": round(t, 4), "mpaths_per_s": round(mpaths, 3)})
+
+
+def config3(full=False):
+    """~70K-tri mesh at 1024^2 (8 spp when --full), plus vertex+albedo
+    gradient checks vs finite differences at test scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+    from computeraytracer_tpu.tracer import xla as xt
+
+    w = h = 1024
+    spp = 8 if full else 1
+    scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=6))
+    n_tris = int(np.asarray(scene.primitives.category).shape[0])
+    t, mpaths = _time_render(
+        lambda: pt.render_accumulate(scene, w, h, spp=spp, max_depth=3),
+        w * h * spp, iters=1)
+
+    # FD gradient check (test-scale scene: FD at 1024^2 is pure noise)
+    gw = gh = 32
+    gscene, _ = scene_from_dict(presets.mesh_scene(gw, gh, subdivisions=2))
+
+    def loss(d1):
+        s = gscene._replace(primitives=gscene.primitives._replace(data1=d1))
+        return jnp.sum(xt.render_sample(s, gw, gh, 1, max_depth=2))
+
+    d1 = jnp.asarray(gscene.primitives.data1)
+    g = jax.grad(loss)(d1)
+    row, col = 8, 1  # a mesh-triangle vertex coordinate
+    eps = 0.05
+    fd = (loss(d1.at[row, col].add(eps))
+          - loss(d1.at[row, col].add(-eps))) / (2 * eps)
+    ad = float(g[row, col])
+    fd = float(fd)
+    rel = abs(ad - fd) / max(abs(fd), 1e-6)
+    _emit({"config": 3, "scene": f"mesh {n_tris} tris 1024^2 spp{spp}",
+           "scaled_down": not full, "seconds": round(t, 3),
+           "mpaths_per_s": round(mpaths, 4),
+           "vertex_grad_ad": ad, "vertex_grad_fd": fd,
+           "grad_rel_err": round(rel, 4)})
+
+
+def config4():
+    """Multi-material scene, gradient-based material optimization."""
+    import jax.numpy as jnp
+
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.train import optimize as opt
+
+    w = h = 128  # the loop is the subject; 1024^2 just scales the film
+    scene, _ = scene_from_dict(presets.cornell_box(w, h))
+    target = opt.render_mean_xyz(scene, w, h, spp=4, max_depth=4)
+    perturbed = scene._replace(
+        spectra=jnp.asarray(scene.spectra).at[2].mul(0.3))
+    t0 = time.perf_counter()
+    _, losses = opt.optimize(perturbed, target, w, h,
+                             trainable=("spectra",), steps=12,
+                             learning_rate=0.05, spp=4, max_depth=4,
+                             kernel="pallas")
+    dt = time.perf_counter() - t0
+    _emit({"config": 4, "scene": "cornell multi-material (diffuse/glass/"
+           "emissive) optimization",
+           "initial_loss": losses[0], "final_loss": losses[-1],
+           "loss_reduced": losses[-1] < losses[0],
+           "steps": len(losses), "seconds": round(dt, 2)})
+
+
+def config5(full=False):
+    """Large mesh sharded over every visible device with grad psum
+    semantics (multi-host shapes validated on the CPU mesh in tests)."""
+    from computeraytracer_tpu.parallel import mesh as mesh_mod
+    from computeraytracer_tpu.parallel import render_sharded
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+
+    if full:
+        w = h = 2048
+        spp, sub = 64, 8  # ~1.3M tris
+    else:
+        w = h = 512
+        spp, sub = 1, 7  # ~327K tris: single-chip-sane demonstrator
+    scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=sub))
+    n_tris = int(np.asarray(scene.primitives.category).shape[0])
+    mesh = mesh_mod.make_mesh()
+    t, mpaths = _time_render(
+        lambda: render_sharded.render_accumulate_sharded(
+            scene, w, h, spp, mesh, max_depth=2), w * h * spp, iters=1)
+    _emit({"config": 5, "scene": f"mesh {n_tris} tris {w}^2 spp{spp} "
+           f"sharded mesh={dict(mesh.shape)}", "scaled_down": not full,
+           "seconds": round(t, 2), "mpaths_per_s": round(mpaths, 4)})
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4])
+    ap.add_argument("--full", action="store_true",
+                    help="attempt the full BASELINE shapes (pod-scale)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/crt_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    fns = {1: config1, 2: config2, 3: lambda: config3(args.full),
+           4: config4, 5: lambda: config5(args.full)}
+    for c in args.configs:
+        fns[c]()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,9 +16,12 @@ import glob
 import gzip
 import json
 import os
+import sys
 import tempfile
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def summarize(logdir: str, top: int = 25) -> None:

@@ -857,11 +857,19 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
                 tape_seed[depth, k] = carry[N_DIFF + k]
             for k in range(4):
                 tape_i[depth, k] = carry[N_DIFF + 4 + k]
-            diff = _unpack_diff(carry[:N_DIFF])
-            nondiff = _unpack_nd(carry[N_DIFF:])
-            diff, nondiff = bounce(getp_v(prims), gets_v(spect), diff,
-                                   nondiff, depth)
-            return _pack_diff(diff) + _pack_nd(nondiff)
+
+            def do(carry):
+                diff = _unpack_diff(carry[:N_DIFF])
+                nondiff = _unpack_nd(carry[N_DIFF:])
+                diff, nondiff = bounce(getp_v(prims), gets_v(spect), diff,
+                                       nondiff, depth)
+                return _pack_diff(diff) + _pack_nd(nondiff)
+
+            # all-dead tile: the bounce is the identity (same skip as
+            # build_forward); the tape row above is still written so the
+            # reverse sweep reads a valid (all-dead) carry
+            return jax.lax.cond(jnp.any(carry[-1] != 0), do,
+                                lambda c: c, carry)
 
         jax.lax.fori_loop(0, depth_n, replay, carry)
 
@@ -873,23 +881,32 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
         d_spect = jnp.zeros(spect.shape, jnp.float32)
 
         def reverse(k, acc):
-            d_diff, d_prims, d_spect = acc
             depth = depth_n - 1 - k
-            diff_in = _unpack_diff(
-                tuple(tape_f[depth, p] for p in range(N_DIFF)))
-            seed_in = tuple(tape_seed[depth, j] for j in range(4))
-            ints = tuple(tape_i[depth, j] for j in range(4))
-            nondiff_in = _unpack_nd(seed_in + ints)
+            active_in = tape_i[depth, 3]
 
-            def f(pv, sv, diff_planes):
-                out_diff, _ = bounce(getp_v(pv), gets_v(sv),
-                                     _unpack_diff(diff_planes),
-                                     nondiff_in, depth)
-                return _pack_diff(out_diff)
+            def do(acc):
+                d_diff, d_prims, d_spect = acc
+                diff_in = _unpack_diff(
+                    tuple(tape_f[depth, p] for p in range(N_DIFF)))
+                seed_in = tuple(tape_seed[depth, j] for j in range(4))
+                ints = tuple(tape_i[depth, j] for j in range(4))
+                nondiff_in = _unpack_nd(seed_in + ints)
 
-            _, vjp = jax.vjp(f, prims, spect, _pack_diff(diff_in))
-            dp, ds, dd = vjp(tuple(d_diff))
-            return list(dd), d_prims + dp, d_spect + ds
+                def f(pv, sv, diff_planes):
+                    out_diff, _ = bounce(getp_v(pv), gets_v(sv),
+                                         _unpack_diff(diff_planes),
+                                         nondiff_in, depth)
+                    return _pack_diff(out_diff)
+
+                _, vjp = jax.vjp(f, prims, spect, _pack_diff(diff_in))
+                dp, ds, dd = vjp(tuple(d_diff))
+                return list(dd), d_prims + dp, d_spect + ds
+
+            # an all-dead bounce is the identity on the diff carry and
+            # touches no parameters: its vjp passes d_diff through
+            # unchanged and adds nothing to d_prims/d_spect — skip it
+            return jax.lax.cond(jnp.any(active_in != 0), do,
+                                lambda a: a, acc)
 
         d_diff, d_prims, d_spect = jax.lax.fori_loop(
             0, depth_n, reverse, (d_diff, d_prims, d_spect))

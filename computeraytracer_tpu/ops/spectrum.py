@@ -18,6 +18,7 @@ a CIE.json-format file can also be loaded (scene/loader.py).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from computeraytracer_tpu import config as C
@@ -100,6 +101,68 @@ def sample_spectrum(spectra, index, lambdas):
     return spectra[index[..., None], lambdas]
 
 
+@jax.custom_vjp
+def take_rows(table_t, lam):
+    """Row gather with a scatter-free backward.
+
+    table_t: (L, S) transposed spectral table; lam: (...,) int32 in
+    [0, L). Forward is the TPU-friendly contiguous row gather; backward
+    computes d_table as a one-hot contraction, which XLA lowers to an
+    MXU dot with the one-hot fused into the operand — the scatter-add
+    XLA AD would otherwise emit for gather's transpose was the single
+    biggest op of the whole fwd+bwd pass (28ms/sample at 1024^2, more
+    than the Pallas trace kernel itself).
+    """
+    return table_t[lam]
+
+
+def _take_rows_fwd(table_t, lam):
+    return table_t[lam], (lam, table_t.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    lam, n_rows = res
+    lam_flat = lam.reshape(-1)
+    g_flat = g.reshape(-1, g.shape[-1])
+    onehot = (lam_flat[:, None] ==
+              jnp.arange(n_rows, dtype=lam_flat.dtype)[None, :])
+    d_table = jnp.einsum("rl,rs->ls", onehot.astype(g_flat.dtype), g_flat,
+                         precision=jax.lax.Precision.HIGHEST)
+    return d_table, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+@jax.custom_vjp
+def take_cols(table, lam):
+    """Column gather with the same scatter-free backward as take_rows.
+
+    table: (S, L); lam: (...,) int32 in [0, L) -> (S, ...). Used where
+    the consumer wants S leading (e.g. the megakernel's per-ray spectra
+    planes) so no transpose is needed on either side of the gather.
+    """
+    return table[:, lam]
+
+
+def _take_cols_fwd(table, lam):
+    return table[:, lam], (lam, table.shape[1])
+
+
+def _take_cols_bwd(res, g):
+    lam, n_cols = res
+    lam_flat = lam.reshape(-1)
+    g_flat = g.reshape(g.shape[0], -1)  # (S, N)
+    onehot = (lam_flat[:, None] ==
+              jnp.arange(n_cols, dtype=lam_flat.dtype)[None, :])
+    d_table = jnp.einsum("sn,nl->sl", g_flat, onehot.astype(g_flat.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+    return d_table, None
+
+
+take_cols.defvjp(_take_cols_fwd, _take_cols_bwd)
+
+
 def sample_cie(cie, lambdas):
     """cie: (3, 471); lambdas (..., 4) -> (..., 3, 4) response rows.
 
@@ -114,16 +177,20 @@ def sample_cie(cie, lambdas):
     """
     window = jnp.swapaxes(
         cie[:, C.CIE_OFFSET:C.CIE_OFFSET + C.N_LAMBDA], 0, 1)  # (301, 3)
-    return jnp.swapaxes(window[lambdas], -1, -2)  # (..., 3, 4)
+    return jnp.swapaxes(take_rows(window, lambdas), -1, -2)  # (..., 3, 4)
 
 
 def spectral_to_xyz(cie, radiance, lambdas):
     """Riemann sum over the 4 hero wavelengths (wgsl:419-426).
 
-    radiance: (..., 4); returns (..., 3) XYZ.
+    radiance: (..., 4); returns (..., 3) XYZ. Contracts the gathered
+    (..., 4, 3) CIE rows directly — the (..., 3, 4) swapaxes view
+    sample_cie presents forces a relayout copy on TPU.
     """
-    bars = sample_cie(cie, lambdas)  # (..., 3, 4)
-    xyz = jnp.einsum("...kj,...j->...k", bars, radiance)
+    window = jnp.swapaxes(
+        cie[:, C.CIE_OFFSET:C.CIE_OFFSET + C.N_LAMBDA], 0, 1)  # (301, 3)
+    bars = take_rows(window, lambdas)  # (..., 4, 3)
+    xyz = jnp.einsum("...jk,...j->...k", bars, radiance)
     scale = jnp.float32(
         (C.LAMBDA_MAX - C.LAMBDA_MIN) / (C.CIE_Y_INTEG * C.N_HERO)
     )

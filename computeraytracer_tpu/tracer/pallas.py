@@ -125,12 +125,13 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
 
     rays = to_planes(jnp.concatenate([o, d], axis=-1), jnp.float32)
     seeds = to_planes(seed, jnp.uint32)
-    # per-ray table of every spectrum at the ray's 4 wavelengths, via
-    # one row-indexed gather of the transposed table (contiguous rows —
-    # same layout trick as ops/spectrum.sample_cie)
+    # per-ray table of every spectrum at the ray's 4 wavelengths,
+    # gathered directly in the kernel's (S, 4, R) plane orientation so
+    # neither direction needs a transpose; take_cols carries the
+    # scatter-free one-hot-contraction backward
     s_n = scene.spectra.shape[0]
-    rows = jnp.swapaxes(scene.spectra, 0, 1)[lambdas]      # (R, 4, S)
-    spect = jnp.transpose(rows, (2, 1, 0)).reshape(s_n * 4, r)
+    lam_t = jnp.swapaxes(lambdas, 0, 1)                   # (4, R)
+    spect = spec.take_cols(scene.spectra, lam_t).reshape(s_n * 4, r)
     if r_pad != r:
         spect = jnp.zeros((s_n * 4, r_pad),
                           jnp.float32).at[:, :r].set(spect)
