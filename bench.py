@@ -5,11 +5,15 @@ Prints ONE JSON line:
   {"metric": "pallas_fwdbwd_mpaths_per_s", "value": N, "unit": "Mpaths/s",
    "vs_baseline": N}
 
-- metric: forward+backward throughput of the Pallas megakernels at
-  1024x1024, 1 spp, max_depth=8 (full NEE/MIS/RR/glass estimator,
-  value_and_grad w.r.t. spectra + vertex geometry) on one chip — the
-  BASELINE.json north-star workload. One "path" = one camera sample
-  (each path casts ~2 rays/bounce: closest-hit + shadow).
+- metric: sustained forward+backward throughput of the Pallas
+  megakernels at 1024x1024, max_depth=8 (full NEE/MIS/RR/glass
+  estimator, value_and_grad w.r.t. spectra + vertex geometry) on one
+  chip — the BASELINE.json north-star workload. One "path" = one
+  camera sample (each path casts ~2 rays/bounce: closest-hit +
+  shadow). Each timed dispatch scans --spp samples (default 4), the
+  way the training loop batches them; this amortizes fixed dispatch
+  latency (~40ms through the remote-TPU tunnel) without changing the
+  per-sample device work.
 - vs_baseline: speedup over the naive XLA tracer (the reference-
   equivalent lax.scan/vmap implementation, tracer/xla.py, via JAX AD)
   on the same workload — BASELINE.md's ">=2x vs naive XLA tracer".
@@ -56,6 +60,10 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--spp", type=int, default=4,
+                    help="samples per dispatch: sustained throughput, "
+                    "dispatch latency amortized exactly as the training "
+                    "loop amortizes it (lax.scan over samples)")
     ap.add_argument("--forward", action="store_true",
                     help="forward-only instead of fwd+bwd")
     args = ap.parse_args()
@@ -74,14 +82,25 @@ def main() -> int:
 
     w = h = args.size
     scene, _ = scene_from_dict(presets.cornell_box(w, h))
-    paths = w * h  # 1 spp
+    spp = args.spp
+    paths = w * h * spp
+    samples = jnp.arange(1, spp + 1, dtype=jnp.uint32)
+
+    def accumulate(tracer, s, **kw):
+        # the training loop's sample scan: one dispatch, spp samples
+        def body(acc, k):
+            return acc + tracer.render_sample(s, w, h, k,
+                                              max_depth=args.depth,
+                                              **kw), None
+        img0 = jnp.zeros((h, w, 3), jnp.float32)
+        img, _ = jax.lax.scan(body, img0, samples)
+        return img / spp
 
     if args.forward:
         metric = "pallas_fwd_mpaths_per_s"
-        xla_fn = jax.jit(lambda s: xla_tracer.render_sample(
-            s, w, h, 1, max_depth=args.depth))
-        pal_fn = jax.jit(lambda s: pallas_tracer.render_sample(
-            s, w, h, 1, max_depth=args.depth,
+        xla_fn = jax.jit(lambda s: accumulate(xla_tracer, s))
+        pal_fn = jax.jit(lambda s: accumulate(
+            pallas_tracer, s,
             static=pallas_tracer.SceneStatic.from_scene(scene)))
         xla_bench = lambda: xla_fn(scene)
         pal_bench = lambda: pal_fn(scene)
@@ -94,8 +113,7 @@ def main() -> int:
                 s = scene._replace(
                     spectra=spectra,
                     primitives=scene.primitives._replace(data1=d1))
-                img = tracer.render_sample(s, w, h, 1,
-                                           max_depth=args.depth, **kw)
+                img = accumulate(tracer, s, **kw)
                 return jnp.mean(img ** 2)
             return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 

@@ -31,13 +31,15 @@ from computeraytracer_tpu.tracer import xla as xla_tracer
 def render_accumulate_sharded(scene, width: int, height: int, spp: int,
                               mesh, max_depth: int = 8, rr_start: int = 1,
                               first_sample: int = 1, use_remat: bool = True,
-                              bvh=None):
+                              bvh=None, kernel: str = "xla", static=None):
     """Accumulated XYZ (H, W, 3) over spp samples, sharded over `mesh`.
 
     height must divide by mesh dp size; spp by mesh sp size. The result
     matches render_accumulate(...) (same seeds, same sample set) up to
     f32 rounding. bvh (BVHArrays, replicated like the scene) switches
-    the per-device intersector to stackless BVH traversal — the
+    the per-device intersector to stackless BVH traversal. With
+    kernel="pallas" each device runs the Pallas megakernel on its film
+    tile (incl. the chunked mesh scan for large triangle runs) — the
     mesh-scale configs (BASELINE configs 3/5) shard exactly like the
     few-primitive ones because the film plane, not the scene, is the
     parallel axis.
@@ -50,6 +52,24 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
         raise ValueError(f"spp {spp} not divisible by sp={sp}")
     tile_h = height // dp
     local_spp = spp // sp
+
+    mesh_packs = None
+    if kernel == "pallas":
+        from computeraytracer_tpu.tracer import pallas as pallas_tracer
+        if static is None:
+            static = pallas_tracer.SceneStatic.from_scene(scene)
+        if static.mesh_parts:
+            mesh_packs = pallas_tracer.mesh_packs_for(scene, static)
+
+    def render_tile(scene, bvh, px, py, s):
+        if kernel == "pallas":
+            from computeraytracer_tpu.tracer import pallas as pallas_tracer
+            return pallas_tracer.render_pixels(
+                scene, width, height, px, py, s, max_depth, rr_start,
+                static=static, mesh_packs=mesh_packs)
+        return xla_tracer.render_pixels(
+            scene, width, height, px, py, s, max_depth, rr_start,
+            use_remat, bvh=bvh)
 
     # check_vma=False: the path-trace scan mixes replicated scene data
     # into device-varying carries, which trips jax's varying-manual-axes
@@ -65,10 +85,7 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
         def body(acc, k):
             s = (jnp.uint32(first_sample) + spi.astype(jnp.uint32)
                  * jnp.uint32(local_spp) + k)
-            xyz = xla_tracer.render_pixels(
-                scene, width, height, px, py, s, max_depth, rr_start,
-                use_remat, bvh=bvh)
-            return acc + xyz, None
+            return acc + render_tile(scene, bvh, px, py, s), None
 
         acc0 = jnp.zeros((tile_h * width, 3), jnp.float32)
         acc, _ = jax.lax.scan(body, acc0,

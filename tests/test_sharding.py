@@ -90,3 +90,14 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_pallas_kernel_matches_single_device(cornell_scene, mesh42):
+    from computeraytracer_tpu.tracer import pallas as pallas_tracer
+
+    w, h, spp = 16, 16, 4
+    single = pallas_tracer.render_accumulate(cornell_scene, w, h, spp,
+                                             max_depth=3)
+    sharded = render_sharded.render_accumulate_sharded(
+        cornell_scene, w, h, spp, mesh42, max_depth=3, kernel="pallas")
+    _assert_mostly_equal(np.asarray(sharded), np.asarray(single))
