@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Diagnose where the chunked mesh scan spends time."""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/crt_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    from computeraytracer_tpu.kernels import megakernel as mk
+
+    w = h = 256
+    for sub in (6, 7):
+        scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=sub))
+        static = pt.SceneStatic.from_scene(scene)
+        packs = pt.mesh_packs_for(scene, static)
+        n = int(np.asarray(scene.primitives.category).shape[0])
+        for tile_m in (8, 16, 32):
+            mk.MESH_TILE_M = tile_m
+            for depth in (0, 2):
+                f = jax.jit(lambda s, _d=depth, _st=static: pt.render_sample(
+                    s, w, h, 1, max_depth=_d, static=_st,
+                    mesh_packs=packs).sum())
+                jax.block_until_ready(f(scene))
+                t0 = time.perf_counter()
+                x = f(scene)
+                jax.block_until_ready(x)
+                np.asarray(x)
+                dt = time.perf_counter() - t0
+                print(f"tris={n:7d} tile_m={tile_m:2d} depth={depth}  "
+                      f"{dt*1e3:9.1f} ms")
+
+
+main()

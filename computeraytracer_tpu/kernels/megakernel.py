@@ -57,6 +57,7 @@ T_MIN = 0.001
 ETA1, ETA2 = 1.0, 1.5
 LANES = 128
 DEFAULT_TILE_M = 32  # 32 x 128 = 4096 rays per grid step
+MESH_TILE_M = 8      # mesh scenes: native-vreg tiles cull chunks better
 N_DIFF = 16  # differentiable carry planes: o3 d3 L4 beta4 last_pdf eta_scale
 
 

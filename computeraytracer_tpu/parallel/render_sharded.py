@@ -96,4 +96,6 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
     if bvh is not None:
         import jax.tree_util as jtu
         bvh = jtu.tree_map(jnp.asarray, bvh)
-    return fn(scene, bvh)
+    # jit the whole sharded program: without it shard_map executes
+    # eagerly, dispatching op-by-op (27x slower through a remote tunnel)
+    return jax.jit(fn)(scene, bvh)

@@ -89,7 +89,7 @@ def mesh_packs_for(scene, static: SceneStatic):
 
 
 def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
-                   rr_start: int = 1, tile_m: int = mk.DEFAULT_TILE_M,
+                   rr_start: int = 1, tile_m: int | None = None,
                    static: SceneStatic | None = None,
                    backward: str = "pallas", mesh_packs=None):
     """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance.
@@ -97,10 +97,14 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     Differentiable w.r.t. scene geometry/spectra and the rays (o, d).
     Scenes whose static has mesh_parts run the chunked Morton mesh scan
     (forward only — gradients use the backward='xla' fallback at the
-    render_pixels level).
+    render_pixels level). tile_m=None picks DEFAULT_TILE_M, or
+    MESH_TILE_M for mesh scenes (smaller tiles cull chunks better: a
+    chunk is skipped only when EVERY ray in the tile misses its box).
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
+    if tile_m is None:
+        tile_m = mk.MESH_TILE_M if static.mesh_parts else mk.DEFAULT_TILE_M
     mesh_arrays = ()
     if static.mesh_parts:
         if mesh_packs is None:
