@@ -18,8 +18,6 @@ def main():
     from computeraytracer_tpu.scene import presets, scene_from_dict
     from computeraytracer_tpu.tracer import pallas as pt
 
-    from computeraytracer_tpu.kernels import megakernel as mk
-
     w = h = 256
     for sub in (6, 7):
         scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=sub))
@@ -27,11 +25,11 @@ def main():
         packs = pt.mesh_packs_for(scene, static)
         n = int(np.asarray(scene.primitives.category).shape[0])
         for tile_m in (8, 16, 32):
-            mk.MESH_TILE_M = tile_m
             for depth in (0, 2):
-                f = jax.jit(lambda s, _d=depth, _st=static: pt.render_sample(
-                    s, w, h, 1, max_depth=_d, static=_st,
-                    mesh_packs=packs).sum())
+                f = jax.jit(lambda s, _d=depth, _st=static, _tm=tile_m:
+                            pt.render_sample(
+                                s, w, h, 1, max_depth=_d, static=_st,
+                                mesh_packs=packs, tile_m=_tm).sum())
                 jax.block_until_ready(f(scene))
                 t0 = time.perf_counter()
                 x = f(scene)

@@ -68,7 +68,8 @@ def cmd_render(args) -> int:
         from computeraytracer_tpu.parallel import render_sharded
         mesh = mesh_mod.make_mesh()
         accum = render_sharded.render_accumulate_sharded(
-            scene, w, h, args.spp, mesh, max_depth=args.depth)
+            scene, w, h, args.spp, mesh, max_depth=args.depth,
+            bvh=bvh, kernel=args.kernel)
     elif args.kernel == "pallas":
         from computeraytracer_tpu.tracer import pallas as pallas_tracer
         accum = pallas_tracer.render_accumulate(

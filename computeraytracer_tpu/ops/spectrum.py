@@ -120,15 +120,46 @@ def _take_rows_fwd(table_t, lam):
     return table_t[lam], (lam, table_t.shape[0])
 
 
+# Upper bound on rows contracted per one-hot block. XLA normally fuses
+# the comparison into the dot operand (no materialized one-hot), but the
+# block keeps peak HBM bounded at ~(BLOCK x L) even if that fusion
+# regresses (~0.3 GB at L=301 instead of N x L for N = rays x 4).
+_ONEHOT_BLOCK = 1 << 18
+
+
+def _chunked(lam_flat, g_flat, contract, out_shape):
+    """Sum contract(lam_block, g_block) -> out_shape over row blocks of
+    _ONEHOT_BLOCK; g_flat rows are the flattened gather sites."""
+    n = lam_flat.shape[0]
+    if n <= _ONEHOT_BLOCK:
+        return contract(lam_flat, g_flat)
+    pad = (-n) % _ONEHOT_BLOCK
+    lam_p = jnp.pad(lam_flat, (0, pad), constant_values=-1)  # matches no col
+    g_p = jnp.pad(g_flat, ((0, pad), (0, 0)))
+    lam_b = lam_p.reshape(-1, _ONEHOT_BLOCK)
+    g_b = g_p.reshape(-1, _ONEHOT_BLOCK, g_flat.shape[1])
+
+    def body(acc, xs):
+        return acc + contract(*xs), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros(out_shape, g_flat.dtype),
+                          (lam_b, g_b))
+    return out
+
+
 def _take_rows_bwd(res, g):
     lam, n_rows = res
     lam_flat = lam.reshape(-1)
     g_flat = g.reshape(-1, g.shape[-1])
-    onehot = (lam_flat[:, None] ==
-              jnp.arange(n_rows, dtype=lam_flat.dtype)[None, :])
-    d_table = jnp.einsum("rl,rs->ls", onehot.astype(g_flat.dtype), g_flat,
-                         precision=jax.lax.Precision.HIGHEST)
-    return d_table, None
+
+    def contract(lam_b, g_b):
+        onehot = (lam_b[:, None] ==
+                  jnp.arange(n_rows, dtype=lam_b.dtype)[None, :])
+        return jnp.einsum("rl,rs->ls", onehot.astype(g_b.dtype), g_b,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return _chunked(lam_flat, g_flat, contract,
+                    (n_rows, g_flat.shape[1])), None
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
@@ -152,12 +183,16 @@ def _take_cols_fwd(table, lam):
 def _take_cols_bwd(res, g):
     lam, n_cols = res
     lam_flat = lam.reshape(-1)
-    g_flat = g.reshape(g.shape[0], -1)  # (S, N)
-    onehot = (lam_flat[:, None] ==
-              jnp.arange(n_cols, dtype=lam_flat.dtype)[None, :])
-    d_table = jnp.einsum("sn,nl->sl", g_flat, onehot.astype(g_flat.dtype),
-                         precision=jax.lax.Precision.HIGHEST)
-    return d_table, None
+    g_flat = g.reshape(g.shape[0], -1).T  # (N, S): rows are gather sites
+
+    def contract(lam_b, g_b):
+        onehot = (lam_b[:, None] ==
+                  jnp.arange(n_cols, dtype=lam_b.dtype)[None, :])
+        return jnp.einsum("ns,nl->sl", g_b, onehot.astype(g_b.dtype),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return _chunked(lam_flat, g_flat, contract,
+                    (g_flat.shape[1], n_cols)), None
 
 
 take_cols.defvjp(_take_cols_fwd, _take_cols_bwd)

@@ -45,26 +45,41 @@ def initialize(coordinator_address: Optional[str] = None,
     unchanged.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized:
+        return True
+
+    # Decide multi-process intent from env vars / explicit args ALONE:
+    # jax.distributed.initialize must run before any jax.* call that
+    # instantiates a backend (jax.process_count() does), or it raises
+    # RuntimeError("backends already initialized").
+    env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    env_nproc = os.environ.get("JAX_NUM_PROCESSES")
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
+    if explicit or (env_coord and env_nproc):
+        coord = coordinator_address or env_coord
+        nproc = (num_processes if num_processes is not None
+                 else int(env_nproc) if env_nproc else None)
+        if coord is None or nproc is None:
+            raise ValueError(
+                "multi-process init needs both a coordinator address and a "
+                "process count (got coordinator_address="
+                f"{coord!r}, num_processes={nproc!r}); set both arguments "
+                "or JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES")
+        pid = (process_id if process_id is not None
+               else int(os.environ.get("JAX_PROCESS_ID", "0")))
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=nproc, process_id=pid)
         _initialized = True
         return True
 
-    env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    env_nproc = os.environ.get("JAX_NUM_PROCESSES")
-    explicit = coordinator_address or num_processes or process_id is not None
-    if not explicit and not (env_coord and env_nproc):
-        return False  # single-process: nothing to do
-
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address or env_coord,
-        num_processes=(num_processes if num_processes is not None
-                       else int(env_nproc) if env_nproc else None),
-        process_id=(process_id if process_id is not None
-                    else int(os.environ.get("JAX_PROCESS_ID", "0"))
-                    if env_coord else None),
-    )
-    _initialized = True
-    return True
+    # No explicit/env config. TPU-pod auto-topology may still make this
+    # a multi-process run; consulting process_count() is safe now
+    # because no jax.distributed.initialize call follows it.
+    if jax.process_count() > 1:
+        _initialized = True
+        return True
+    return False  # single-process: nothing to do
 
 
 def global_mesh(sp: Optional[int] = None):

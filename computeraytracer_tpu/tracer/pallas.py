@@ -159,7 +159,8 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
 def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
-                  backward: str = "pallas", mesh_packs=None):
+                  backward: str = "pallas", mesh_packs=None,
+                  tile_m: int | None = None):
     """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
 
     With backward="pallas" (default) this is a plain differentiable
@@ -182,7 +183,7 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
             scene.camera.fov, width, height, px, py, sample_u, seed)
         lambdas, seed = spec.sample_wavelengths(seed)
         radiance = trace_radiance(scene, o, d, lambdas, seed, max_depth,
-                                  rr_start, static=static,
+                                  rr_start, tile_m=tile_m, static=static,
                                   backward=backward,
                                   mesh_packs=mesh_packs)
         return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
@@ -216,7 +217,8 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
 def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
-                  backward: str = "pallas", mesh_packs=None, **_):
+                  backward: str = "pallas", mesh_packs=None,
+                  tile_m: int | None = None, **_):
     if static is None:
         static = SceneStatic.from_scene(scene)
     if static.mesh_parts and mesh_packs is None:
@@ -224,7 +226,7 @@ def render_sample(scene, width: int, height: int, sample,
     px, py = xla_tracer.tile_coords(width, height, 0)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
                         rr_start, static=static, backward=backward,
-                        mesh_packs=mesh_packs)
+                        mesh_packs=mesh_packs, tile_m=tile_m)
     return xyz.reshape(height, width, 3)
 
 

@@ -84,7 +84,8 @@ def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
     else:
         accum = render_sharded.render_accumulate_sharded(
             scene, width, height, spp, mesh, max_depth, rr_start,
-            first_sample)
+            first_sample, use_remat=use_remat, kernel=kernel,
+            static=kernel_static)
     return accum / jnp.float32(spp)
 
 
