@@ -222,12 +222,12 @@ def _rand_masked(seed, mask):
 
 def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
                      mesh_accessors=()):
-    """In-order closest-hit scan (wgsl:503-632 semantics) + mesh chunks.
+    """In-order closest-hit scan (wgsl:503-632 semantics) + mesh BVH.
 
     getp(slot, j): scalar element j of unrolled-primitive slot (SMEM ref
     read in the forward kernel; jnp array read under the backward's
-    vjp). mesh_accessors: per mesh part, (part, tri_read, bbox_read)
-    for the chunked Morton scan.
+    vjp). mesh_accessors: per mesh part, (part, reads) where reads is
+    the accessor tuple consumed by _scan_mesh_part.
     Returns dict of (T,128) planes: hit, t, idx, pos, nrm.
     """
     inf = jnp.full(shape, jnp.inf, jnp.float32)
@@ -311,26 +311,31 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
             "nrm": _vwhere(valid, n_eff, state["nrm"]),
         }
 
-    for part, tri_read, bbox_read in mesh_accessors:
-        state = _scan_mesh_part(part, tri_read, bbox_read, o, d, exclude,
-                                state, shape)
+    for part, reads in mesh_accessors:
+        state = _scan_mesh_part(part, reads, o, d, exclude, state, shape)
     state["hit"] = state["idx"] >= 0
     return state
 
 
-def _scan_mesh_part(part: "MeshPart", tri_read, bbox_read, o, d, exclude,
-                    state, shape):
-    """Chunked Morton scan of one mesh part (kernels/meshpack.py layout).
+def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
+    """Stackless BVH traversal over Morton chunks of one mesh part.
 
-    Per chunk: one AABB slab test over the whole ray tile (vector ops,
-    one scalar any()); `lax.cond` skips the 128 triangle tests when no
-    ray can hit the box. Triangle tests broadcast one triangle's scalars
-    over all lanes — sequential reads, zero gathers. Ties break toward
-    the HIGHER primitive id (the order-free form of the reference's
+    reads = (tri_read, cbox_read, nbox_read, nmeta_read, n_nodes) per
+    kernels/meshpack.py. The DFS node array is walked with a skip-link
+    while_loop: an inner node whose box ANY ray in the tile can still
+    hit descends (+1); a miss or a leaf jumps to its `skip` slot. Leaf
+    visits re-test each of their LEAF_CHUNKS chunk boxes (tighter) and
+    `lax.cond`-skip the 128 triangle tests when no ray can hit.
+    Triangle tests broadcast one triangle's scalars over all lanes —
+    sequential reads, zero gathers; the tree does the O(log) work a
+    per-ray BVH would, at tile granularity. Ties break toward the
+    HIGHER primitive id (the order-free form of the reference's
     in-order last-wins; mesh ids are the highest in the scene, and
     Morton order shuffles only within the part).
     """
     from computeraytracer_tpu.kernels import meshpack
+
+    tri_read, cbox_read, nbox_read, nmeta_read, n_nodes = reads
 
     # slab test needs 1/d with the sign preserved for axis-parallel rays
     inv_d = []
@@ -340,9 +345,11 @@ def _scan_mesh_part(part: "MeshPart", tri_read, bbox_read, o, d, exclude,
         inv_d.append(jnp.where(tiny, sign * jnp.float32(1e30),
                                1.0 / jnp.where(tiny, 1.0, d[c])))
 
-    def chunk_step(k, carry):
-        t_best, idx_best, pos, nrm = carry
-        bb = bbox_read(k)  # (1, 8): [lo.xyz, hi.xyz, pad, pad]
+    def slab_any(bb, t_best):
+        """True when any ray in the tile can hit box bb closer than its
+        current best. Degenerate empty boxes (lo == hi == BIG,
+        meshpack.py) produce t_enter == +inf, excluded explicitly so
+        `inf <= inf` against miss lanes' t_best can't fake a hit."""
         t_enter = jnp.full(shape, -jnp.inf, jnp.float32)
         t_exit = jnp.full(shape, jnp.inf, jnp.float32)
         for c in range(3):
@@ -350,8 +357,12 @@ def _scan_mesh_part(part: "MeshPart", tri_read, bbox_read, o, d, exclude,
             t1 = (bb[0, 3 + c] - o[c]) * inv_d[c]
             t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
             t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
-        hit_box = (t_enter <= t_exit) & (t_exit >= T_MIN) & \
-            (t_enter <= t_best)
+        return ((t_enter <= t_exit) & (t_exit >= T_MIN)
+                & (t_enter <= t_best) & (t_enter < jnp.inf))
+
+    def chunk_step(k, carry):
+        t_best, idx_best, pos, nrm = carry
+        hit_box = slab_any(cbox_read(k), t_best)
 
         def scan_chunk(carry):
             def row_step(rr, carry):
@@ -406,23 +417,52 @@ def _scan_mesh_part(part: "MeshPart", tri_read, bbox_read, o, d, exclude,
         return jax.lax.cond(jnp.any(hit_box), scan_chunk, lambda c: c,
                             carry)
 
-    carry = (state["t"], state["idx"], state["pos"], state["nrm"])
-    t, idx, pos, nrm = jax.lax.fori_loop(0, part.n_chunks, chunk_step,
-                                         carry)
-    return {"t": t, "idx": idx, "pos": pos, "nrm": nrm}
+    def traverse_cond(c):
+        return c[0] < n_nodes
+
+    def traverse_body(c):
+        node, carry = c[0], c[1:]
+        hit_any = jnp.any(slab_any(nbox_read(node), carry[0]))
+        meta = nmeta_read(node)  # (1, 8): [skip, chunk_start, is_leaf]
+        skip, c0 = meta[0, 0], meta[0, 1]
+        is_leaf = meta[0, 2] > 0
+
+        def do_leaf(carry):
+            return jax.lax.fori_loop(
+                0, meshpack.LEAF_CHUNKS,
+                lambda i, cc: chunk_step(c0 + i, cc), carry)
+
+        carry = jax.lax.cond(hit_any & is_leaf, do_leaf, lambda cc: cc,
+                             carry)
+        nxt = jnp.where(hit_any & ~is_leaf, node + 1, skip)
+        return (nxt,) + carry
+
+    carry = (jnp.int32(0), state["t"], state["idx"], state["pos"],
+             state["nrm"])
+    out = jax.lax.while_loop(traverse_cond, traverse_body, carry)
+    return {"t": out[1], "idx": out[2], "pos": out[3], "nrm": out[4]}
 
 
 def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
     """One bounce of the path-trace loop (wgsl:133-293) over all lanes.
 
-    Returns bounce(getp, gets, diff, nondiff, depth, mesh_accessors):
+    Returns bounce(getp, gets, diff, nondiff, depth, mesh_accessors,
+                   scan_fn):
       getp(slot, j)  scalar element of unrolled-primitive slot
       gets(row)   4-tuple of (T,128) planes: spectrum `row` at the
                   ray's hero wavelengths
       diff        (o3, d3, L4, beta4, last_pdf, eta_scale) float planes
       nondiff     (seed u32x4, exclude i32, specular/in_trans/active bool)
-      mesh_accessors: per mesh part, (part, tri_read, bbox_read)
-    -> (diff, nondiff).
+      mesh_accessors: per mesh part, (part, reads); reads may be None
+                  when scan_fn replaces the scans (tracer/replay.py)
+      scan_fn     optional override for ray casting:
+                  scan_fn(tag, o, d, exclude) -> hit dict, where tag is
+                  "main" or ("nee", light_ordinal). Default: the full
+                  _scan_primitives scan. The guided replay substitutes
+                  a taped-winner recompute here.
+    -> (diff, nondiff, aux) where aux = (hit_idx, (sh_idx per light))
+       i32 planes — the per-bounce decision record the taped forward
+       writes for the replay backward.
     """
     S = static.n_spectra
     n_lights = len(static.light_rows)
@@ -447,15 +487,20 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
         r = g / jnp.maximum(f, 1e-12)
         return 1.0 / (1.0 + r * r)
 
-    def bounce(getp, gets, diff, nondiff, depth, mesh_accessors=()):
+    def bounce(getp, gets, diff, nondiff, depth, mesh_accessors=(),
+               scan_fn=None):
         o, d, L, beta, last_pdf, eta_scale = diff
         seed, exclude, specular, in_trans, active = nondiff
         one = jnp.ones(shape, jnp.float32)
         zero = jnp.zeros(shape, jnp.float32)
         inv_pi = jnp.float32(1.0 / math.pi)
 
-        hit = _scan_primitives(static, getp, o, d, exclude, shape,
-                               mesh_accessors)
+        if scan_fn is None:
+            def scan_fn(tag, so, sd, sexcl):
+                return _scan_primitives(static, getp, so, sd, sexcl,
+                                        shape, mesh_accessors)
+
+        hit = scan_fn("main", o, d, exclude)
         lane_hit = active & hit["hit"]
         active = lane_hit
         exclude = jnp.where(lane_hit, hit["idx"], exclude)
@@ -483,7 +528,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
         for i, m in zip(static.rows, static.materials):
             masks = or_material(m, idx == i, masks)
         part_sels = []
-        for part, _, _ in mesh_accessors:
+        for part, _ in mesh_accessors:
             sel = (idx >= part.start) & (idx < part.start + part.count)
             part_sels.append(sel)
             masks = or_material(part.material, sel, masks)
@@ -541,7 +586,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
                 sel = idx == i
                 refl = gets(ri)
                 brdf = [jnp.where(sel, refl[j], brdf[j]) for j in range(4)]
-        for (part, _, _), sel in zip(mesh_accessors, part_sels):
+        for (part, _), sel in zip(mesh_accessors, part_sels):
             if part.material == C.DIFFUSE:
                 refl = gets(part.reflectance_idx)
                 brdf = [jnp.where(sel, refl[j], brdf[j]) for j in range(4)]
@@ -551,6 +596,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
         li = jnp.clip((u_l * float(n_lights)).astype(jnp.int32), 0,
                       n_lights - 1)
         nee = [zero] * 4
+        sh_idx_aux = []
         for l_i, lr in enumerate(static.light_rows):
             lsel = is_diffuse & (li == l_i)
             sl = lslot[lr]
@@ -561,8 +607,8 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
                    l_o[1] + u_p * l_e1[1] + v_p * l_e2[1],
                    l_o[2] + u_p * l_e1[2] + v_p * l_e2[2])
             ldir = _vnormalize(_vsub(p_l, hit["pos"]))
-            sh = _scan_primitives(static, getp, hit["pos"], ldir,
-                                  hit["idx"], shape, mesh_accessors)
+            sh = scan_fn(("nee", l_i), hit["pos"], ldir, hit["idx"])
+            sh_idx_aux.append(sh["idx"])
             unocc = sh["hit"] & (sh["idx"] == lr)
             cos_t = jnp.maximum(0.0, _vdot(hit["nrm"], ldir))
             pdf_l = light_pdf(getp, lr, sh["nrm"], ldir, sh["pos"],
@@ -672,7 +718,8 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
                      for j in range(4))
 
         return ((o, d, L, beta, last_pdf, eta_scale),
-                (seed, exclude, specular, in_trans, active))
+                (seed, exclude, specular, in_trans, active),
+                (hit["idx"], tuple(sh_idx_aux)))
 
     return bounce
 
@@ -725,53 +772,90 @@ def _unpack_nd(planes):
 # forward megakernel
 # ---------------------------------------------------------------------------
 
+ARRAYS_PER_PART = 4  # tri_rows, chunk_bbox, node_bbox, node_meta
+
+
+def _make_accessors(parts, mesh_refs):
+    accessors = []
+    for pi, part in enumerate(parts):
+        tri_ref, cbox_ref, nbox_ref, nmeta_ref = \
+            mesh_refs[ARRAYS_PER_PART * pi:ARRAYS_PER_PART * (pi + 1)]
+        reads = (
+            lambda r, _t=tri_ref: _t[pl.ds(r, 1), :],
+            lambda k, _b=cbox_ref: _b[pl.ds(k, 1), :],
+            lambda nn, _b=nbox_ref: _b[pl.ds(nn, 1), :],
+            lambda nn, _m=nmeta_ref: _m[pl.ds(nn, 1), :],
+            nmeta_ref.shape[0],
+        )
+        accessors.append((part, reads))
+    return tuple(accessors)
+
+
 def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
-                  tile_m: int = DEFAULT_TILE_M, interpret: bool = False):
+                  tile_m: int = DEFAULT_TILE_M, interpret: bool = False,
+                  taped: bool = False):
     """Build the forward megakernel for a fixed scene structure.
 
     Returns f(prims_f (P,12) f32, rays (6,M,128), seeds (4,M,128) u32,
     spect (S*4, M, 128), *mesh_arrays) -> radiance (4, M, 128), where
-    mesh_arrays is (tri_rows, chunk_bbox) per SceneStatic.mesh_part
-    (kernels/meshpack.py layout), replicated to every ray tile.
+    mesh_arrays is (tri_rows, chunk_bbox, node_bbox, node_meta) per
+    SceneStatic.mesh_part (kernels/meshpack.py layout), replicated to
+    every ray tile.
+
+    taped=True additionally returns the per-bounce decision record for
+    the guided-replay backward (tracer/replay.py):
+      tape_idx (D+1, M, 128) i32 — closest-hit winner per bounce
+      tape_sh  (D+1, n_lights, M, 128) i32 — NEE shadow-scan winner
+    Bounces skipped by the all-dead-tile shortcut record -1 everywhere
+    (those lanes are dead in the replayed carry too, so the values are
+    never consumed).
     """
     S = static.n_spectra
     shape = (tile_m, LANES)
+    depth_n = max_depth + 1
     bounce = make_bounce(static, shape, max_depth, rr_start)
     parts = static.mesh_parts
+    n_lights = max(1, len(static.light_rows))
 
     def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, *rest):
-        mesh_refs, out_ref = rest[:-1], rest[-1]
+        if taped:
+            mesh_refs = rest[:-3]
+            out_ref, tidx_ref, tsh_ref = rest[-3:]
+        else:
+            mesh_refs, out_ref = rest[:-1], rest[-1]
         getp = lambda i, j: prims_ref[i, j]
         gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
                                  for j in range(4))
-        accessors = []
-        for pi, part in enumerate(parts):
-            tri_ref = mesh_refs[2 * pi]
-            bbox_ref = mesh_refs[2 * pi + 1]
-            accessors.append((
-                part,
-                lambda r, _t=tri_ref: _t[pl.ds(r, 1), :],
-                lambda k, _b=bbox_ref: _b[pl.ds(k, 1), :],
-            ))
-        accessors = tuple(accessors)
+        accessors = _make_accessors(parts, mesh_refs)
         diff, nondiff = _init_carry(rays_ref, seeds_ref, shape)
         carry = _pack_diff(diff) + _pack_nd(nondiff)
 
         def body(depth, carry):
+            neg = jnp.full(shape, -1, jnp.int32)
+
             def do(carry):
                 diff = _unpack_diff(carry[:N_DIFF])
                 nondiff = _unpack_nd(carry[N_DIFF:])
-                diff, nondiff = bounce(getp, gets, diff, nondiff, depth,
-                                       accessors)
-                return _pack_diff(diff) + _pack_nd(nondiff)
+                diff, nondiff, aux = bounce(getp, gets, diff, nondiff,
+                                            depth, accessors)
+                hit_idx, sh_idx = aux
+                sh = list(sh_idx) + [neg] * (n_lights - len(sh_idx))
+                return (_pack_diff(diff) + _pack_nd(nondiff),
+                        (hit_idx, tuple(sh)))
 
             # a bounce over an all-dead tile is the identity (every
             # update is masked by `active`) — skip it; RR kills most
             # paths well before max_depth, so late trips are often free
-            return jax.lax.cond(jnp.any(carry[-1] != 0), do,
-                                lambda c: c, carry)
+            carry, aux = jax.lax.cond(
+                jnp.any(carry[-1] != 0), do,
+                lambda c: (c, (neg, (neg,) * n_lights)), carry)
+            if taped:
+                tidx_ref[depth] = aux[0]
+                for l_i in range(n_lights):
+                    tsh_ref[depth, l_i] = aux[1][l_i]
+            return carry
 
-        carry = jax.lax.fori_loop(0, max_depth + 1, body, carry)
+        carry = jax.lax.fori_loop(0, depth_n, body, carry)
         L = _unpack_diff(carry[:N_DIFF])[2]
         for j in range(4):
             out_ref[j, :, :] = L[j]
@@ -784,9 +868,26 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         mesh_specs = []
         for _ in parts:
             # whole arrays, same block for every tile (index_map const)
-            mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        return pl.pallas_call(
+            for _k in range(ARRAYS_PER_PART):
+                mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_specs = [pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((4, m, LANES), jnp.float32)]
+        if taped:
+            out_specs += [
+                pl.BlockSpec((depth_n, tile_m, LANES),
+                             lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((depth_n, n_lights, tile_m, LANES),
+                             lambda i: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((depth_n, m, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((depth_n, n_lights, m, LANES),
+                                     jnp.int32),
+            ]
+        out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -799,11 +900,11 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                              memory_space=pltpu.VMEM),
                 *mesh_specs,
             ],
-            out_specs=pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((4, m, LANES), jnp.float32),
+            out_specs=out_specs if taped else out_specs[0],
+            out_shape=out_shape if taped else out_shape[0],
             interpret=interpret,
         )(prims_f, rays, seeds, spect, *mesh_arrays)
+        return out
 
     return forward
 
@@ -829,8 +930,9 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
     """
     if static.mesh_parts:
         raise NotImplementedError(
-            "backward megakernel does not support mesh parts yet; use "
-            "backward='xla' (tracer/pallas.py falls back automatically)")
+            "mesh scenes differentiate through the taped guided replay "
+            "(tracer/replay.py); tracer/pallas.py routes there "
+            "automatically")
     n_prims = len(static.categories)
     S = static.n_spectra
     s4 = S * 4
@@ -862,8 +964,8 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
             def do(carry):
                 diff = _unpack_diff(carry[:N_DIFF])
                 nondiff = _unpack_nd(carry[N_DIFF:])
-                diff, nondiff = bounce(getp_v(prims), gets_v(spect), diff,
-                                       nondiff, depth)
+                diff, nondiff, _ = bounce(getp_v(prims), gets_v(spect),
+                                          diff, nondiff, depth)
                 return _pack_diff(diff) + _pack_nd(nondiff)
 
             # all-dead tile: the bounce is the identity (same skip as
@@ -894,9 +996,9 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
                 nondiff_in = _unpack_nd(seed_in + ints)
 
                 def f(pv, sv, diff_planes):
-                    out_diff, _ = bounce(getp_v(pv), gets_v(sv),
-                                         _unpack_diff(diff_planes),
-                                         nondiff_in, depth)
+                    out_diff, _, _ = bounce(getp_v(pv), gets_v(sv),
+                                            _unpack_diff(diff_planes),
+                                            nondiff_in, depth)
                     return _pack_diff(out_diff)
 
                 _, vjp = jax.vjp(f, prims, spect, _pack_diff(diff_in))

@@ -5,38 +5,90 @@ for a VPU (measured ~0.002 Mpaths/s through XLA gathers on an 80K-tri
 scene). The megakernel instead scans Morton-ordered triangle CHUNKS:
 each chunk is 128 spatially-coherent triangles with one AABB; a bounce
 tests the chunk box against the whole ray tile (vector ops + one scalar
-any()) and `lax.cond`-skips the 128 triangle tests when no ray can hit
-it. All memory access is sequential rows — zero gathers; culling does
-the O(log) work a BVH would, at chunk granularity.
+any()) and skips the 128 triangle tests when no ray can hit it.
 
-Packed layout (VMEM-friendly: lanes fully used, no (N, 12)->(N, 128)
-padding blowup):
+New in round 2: a **complete binary BVH over the chunks** (the
+"stackless BVH traversal with flattened node arrays" of the north star,
+replacing the reference's linear scan at ComputeShader.wgsl:503-518 at
+scale). Chunks stay in Morton order, so every BVH node covers a
+CONTIGUOUS run of chunks — reads stay gather-free. The tree is complete
+(chunk-groups padded to a power of two), which makes its STRUCTURE
+(DFS order, skip links, leaf ranges) a pure function of the chunk
+count: structure is computed once on the host, while every BOX is a
+cheap jnp reduction pyramid over the chunk AABBs — so geometry updates
+during gradient-based vertex optimization re-pack entirely inside jit
+(`pack_from_plan`), keeping boxes valid as vertices move. Only culling
+QUALITY decays if vertices drift far from the initial Morton order;
+call `make_plan` again to re-sort.
+
+Kernel-side traversal (kernels/megakernel.py:_scan_mesh_part) walks the
+DFS array with a skip-link while_loop: tile-hit inner node -> descend
+(+1); miss or leaf -> jump to `skip`. Leaves hold LEAF_CHUNKS chunks,
+each re-tested against its own (tighter) box before the 128-triangle
+scan.
+
+Packed layout (VMEM-friendly: lanes fully used):
   tri_rows  (n_rows, 128) f32 — each row holds 8 triangles x 16 lanes:
             [p0.xyz, e1.xyz, e2.xyz, prim_id, 6 pad]; 16 rows = 1 chunk.
-  chunk_bbox (n_chunks, 8) f32 — [lo.xyz, hi.xyz, pad, pad].
+  chunk_bbox (n_chunks_padded, 8) f32 — [lo.xyz, hi.xyz, pad, pad].
+  node_bbox  (n_nodes, 8) f32 — DFS order, [lo.xyz, hi.xyz, pad, pad].
+  node_meta  (n_nodes, 8) i32 — DFS order, [skip, chunk_start, is_leaf,
+             5 pad]. Leaves cover chunks [chunk_start,
+             chunk_start + LEAF_CHUNKS).
 Padding triangles have id = -1 and zero geometry (Moller-Trumbore
-rejects them by det == 0; id -1 never matches).
+rejects them by det == 0; id -1 never matches). Fully-empty padded
+chunks/nodes get a degenerate far-away box (lo == hi == BIG) that every
+slab test misses without NaNs.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax.numpy as jnp
 import numpy as np
 
 TRIS_PER_ROW = 8
 LANES_PER_TRI = 16
 ROWS_PER_CHUNK = 16
 TRIS_PER_CHUNK = TRIS_PER_ROW * ROWS_PER_CHUNK  # 128
+LEAF_CHUNKS = 4          # chunks per BVH leaf (512 triangles)
+BIG = np.float32(3e37)   # degenerate empty-box coordinate (see header)
+
+
+class MeshPlan(NamedTuple):
+    """Static (host-side) packing plan: Morton order + tree structure.
+
+    Everything here is a function of the INITIAL geometry only; the
+    boxes themselves are recomputed from live geometry by
+    `pack_from_plan` (pure jnp, jit-safe)."""
+
+    order: np.ndarray        # (N,) Morton sort permutation of triangles
+    n: int                   # real triangle count
+    n_chunks: int            # padded chunk count = n_groups * LEAF_CHUNKS
+    n_groups: int            # leaf groups (power of two)
+    perm: np.ndarray         # (n_nodes,) level-stacked index per DFS slot
+    meta: np.ndarray         # (n_nodes, 8) i32 [skip, chunk_start, leaf]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.meta.shape[0]
 
 
 class MeshPack(NamedTuple):
-    tri_rows: np.ndarray    # (n_rows, 128) f32
-    chunk_bbox: np.ndarray  # (n_chunks, 8) f32
+    tri_rows: jnp.ndarray    # (n_rows, 128) f32
+    chunk_bbox: jnp.ndarray  # (n_chunks, 8) f32
+    node_bbox: jnp.ndarray   # (n_nodes, 8) f32  (DFS order)
+    node_meta: jnp.ndarray   # (n_nodes, 8) i32  (DFS order)
 
     @property
     def n_chunks(self) -> int:
         return self.chunk_bbox.shape[0]
+
+    @property
+    def arrays(self):
+        return (self.tri_rows, self.chunk_bbox, self.node_bbox,
+                self.node_meta)
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -52,13 +104,41 @@ def _morton3(q: np.ndarray) -> np.ndarray:
             | (spread(q[:, 2]) << np.uint64(2)))
 
 
-def pack_mesh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-              prim_ids: np.ndarray) -> MeshPack:
-    """Sort by centroid Morton code, pack rows of 8 tris, chunk AABBs."""
+def _dfs_structure(n_groups: int) -> tuple[np.ndarray, np.ndarray]:
+    """DFS preorder of the complete binary tree over n_groups leaves.
+
+    Returns (perm, meta): perm[d] = level-stacked index ((2^k - 1) + j)
+    of the node at DFS slot d; meta[d] = [skip, chunk_start, is_leaf,
+    0...]. skip = DFS index just past the node's subtree (the stackless
+    traversal jumps there on a miss or after a leaf)."""
+    depth = int(n_groups).bit_length() - 1  # n_groups = 2^depth
+    n_nodes = 2 * n_groups - 1
+    perm = np.zeros(n_nodes, np.int64)
+    meta = np.zeros((n_nodes, 8), np.int32)
+    stack = [(0, 0)]  # (level, j)
+    d = 0
+    while stack:
+        k, j = stack.pop()
+        leaves_below = n_groups >> k
+        subtree = 2 * leaves_below - 1
+        perm[d] = (1 << k) - 1 + j
+        is_leaf = k == depth
+        meta[d, 0] = d + subtree                       # skip
+        meta[d, 1] = j * leaves_below * LEAF_CHUNKS    # chunk_start
+        meta[d, 2] = 1 if is_leaf else 0
+        if not is_leaf:
+            # preorder: left child next -> push right first
+            stack.append((k + 1, 2 * j + 1))
+            stack.append((k + 1, 2 * j))
+        d += 1
+    return perm, meta
+
+
+def make_plan(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> MeshPlan:
+    """Morton-sort triangle centroids and lay out the chunk BVH."""
     p0 = np.asarray(p0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
-    prim_ids = np.asarray(prim_ids, np.int64)
     n = p0.shape[0]
 
     cent = p0 + (e1 + e2) / 3.0
@@ -67,48 +147,96 @@ def pack_mesh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     q = np.minimum(((cent - lo) / ext) * 1023.0, 1023.0).astype(np.uint32)
     order = np.argsort(_morton3(q), kind="stable")
 
-    n_chunks = max(1, -(-n // TRIS_PER_CHUNK))
-    n_pad = n_chunks * TRIS_PER_CHUNK
+    n_chunks_real = max(1, -(-n // TRIS_PER_CHUNK))
+    n_groups = 1
+    while n_groups * LEAF_CHUNKS < n_chunks_real:
+        n_groups *= 2
+    n_chunks = n_groups * LEAF_CHUNKS
+    perm, meta = _dfs_structure(n_groups)
+    return MeshPlan(order=order, n=n, n_chunks=n_chunks,
+                    n_groups=n_groups, perm=perm, meta=meta)
 
-    def padded(a, fill=0.0):
-        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
-        out[:n] = a[order]
-        return out
+
+def pack_from_plan(plan: MeshPlan, p0, e1, e2, prim_ids) -> MeshPack:
+    """Pack live geometry under a fixed plan. Pure jnp: runs inside jit,
+    so training steps that move vertices re-derive valid boxes for free.
+    Gradients do not flow through the pack (the kernel treats geometry
+    as a replayable constant; cotangents come from the taped replay in
+    tracer/replay.py)."""
+    n, n_chunks = plan.n, plan.n_chunks
+    n_pad = n_chunks * TRIS_PER_CHUNK
+    order = jnp.asarray(plan.order)
+
+    def padded(a):
+        a = jnp.asarray(a, jnp.float32)[order]
+        return jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(a)
 
     p0s, e1s, e2s = padded(p0), padded(e1), padded(e2)
-    ids = np.full(n_pad, -1.0, np.float32)
-    ids[:n] = prim_ids[order].astype(np.float32)
-
-    # triangle AABBs -> chunk AABBs (padding tris are zero-size at origin;
-    # exclude them from the box by masking with +-inf)
-    corners = np.stack([p0s, p0s + e1s, p0s + e2s], axis=1)
-    t_lo = corners.min(1)
-    t_hi = corners.max(1)
-    valid = (ids >= 0)[:, None]
-    t_lo = np.where(valid, t_lo, np.inf)
-    t_hi = np.where(valid, t_hi, -np.inf)
-    c_lo = t_lo.reshape(n_chunks, TRIS_PER_CHUNK, 3).min(1)
-    c_hi = t_hi.reshape(n_chunks, TRIS_PER_CHUNK, 3).max(1)
-    chunk_bbox = np.zeros((n_chunks, 8), np.float32)
-    chunk_bbox[:, 0:3] = c_lo
-    chunk_bbox[:, 3:6] = c_hi
+    ids = jnp.full((n_pad,), -1.0, jnp.float32).at[:n].set(
+        jnp.asarray(prim_ids)[order].astype(jnp.float32))
 
     # rows of 8 tris x 16 lanes
-    n_rows = n_pad // TRIS_PER_ROW
-    comp = np.zeros((n_pad, LANES_PER_TRI), np.float32)
-    comp[:, 0:3] = p0s
-    comp[:, 3:6] = e1s
-    comp[:, 6:9] = e2s
-    comp[:, 9] = ids
-    tri_rows = comp.reshape(n_rows, TRIS_PER_ROW * LANES_PER_TRI)
-    return MeshPack(tri_rows=tri_rows, chunk_bbox=chunk_bbox)
+    comp = jnp.zeros((n_pad, LANES_PER_TRI), jnp.float32)
+    comp = comp.at[:, 0:3].set(p0s).at[:, 3:6].set(e1s).at[:, 6:9].set(e2s)
+    comp = comp.at[:, 9].set(ids)
+    tri_rows = comp.reshape(n_pad // TRIS_PER_ROW,
+                            TRIS_PER_ROW * LANES_PER_TRI)
+
+    # triangle AABBs -> chunk AABBs; padding tris excluded via +-inf,
+    # fully-empty chunks collapsed to the degenerate far box
+    corners = jnp.stack([p0s, p0s + e1s, p0s + e2s], axis=1)
+    valid = (ids >= 0)[:, None]
+    t_lo = jnp.where(valid, corners.min(1), jnp.inf)
+    t_hi = jnp.where(valid, corners.max(1), -jnp.inf)
+    c_lo = t_lo.reshape(n_chunks, TRIS_PER_CHUNK, 3).min(1)
+    c_hi = t_hi.reshape(n_chunks, TRIS_PER_CHUNK, 3).max(1)
+    empty = ~jnp.isfinite(c_lo[:, :1])
+    c_lo = jnp.where(empty, BIG, c_lo)
+    c_hi = jnp.where(empty, BIG, c_hi)
+    chunk_bbox = jnp.zeros((n_chunks, 8), jnp.float32)
+    chunk_bbox = chunk_bbox.at[:, 0:3].set(c_lo).at[:, 3:6].set(c_hi)
+
+    # node boxes: reduction pyramid over chunk boxes, root level first.
+    # Fully-empty subtrees keep lo == hi == BIG (always missed); a node
+    # with one empty half inherits hi == BIG — conservatively huge but
+    # harmless, and only O(log n) such nodes exist on the padding edge.
+    lvl_lo = [c_lo.reshape(plan.n_groups, LEAF_CHUNKS, 3).min(1)]
+    lvl_hi = [c_hi.reshape(plan.n_groups, LEAF_CHUNKS, 3).max(1)]
+    while lvl_lo[0].shape[0] > 1:
+        lvl_lo.insert(0, lvl_lo[0].reshape(-1, 2, 3).min(1))
+        lvl_hi.insert(0, lvl_hi[0].reshape(-1, 2, 3).max(1))
+    all_lo = jnp.concatenate(lvl_lo, axis=0)
+    all_hi = jnp.concatenate(lvl_hi, axis=0)
+    perm = jnp.asarray(plan.perm)
+    node_bbox = jnp.zeros((plan.n_nodes, 8), jnp.float32)
+    node_bbox = node_bbox.at[:, 0:3].set(all_lo[perm])
+    node_bbox = node_bbox.at[:, 3:6].set(all_hi[perm])
+    node_meta = jnp.asarray(plan.meta)
+    return MeshPack(tri_rows=tri_rows, chunk_bbox=chunk_bbox,
+                    node_bbox=node_bbox, node_meta=node_meta)
 
 
-def pack_scene_mesh(scene, part) -> MeshPack:
+def pack_mesh(p0, e1, e2, prim_ids) -> MeshPack:
+    """One-shot pack (plan + pack) for concrete geometry."""
+    plan = make_plan(np.asarray(p0), np.asarray(e1), np.asarray(e2))
+    return pack_from_plan(plan, p0, e1, e2, prim_ids)
+
+
+def plan_scene_mesh(scene, part) -> MeshPlan:
+    p = scene.primitives
+    s, c = part.start, part.count
+    return make_plan(np.asarray(p.data1)[s:s + c],
+                     np.asarray(p.data2)[s:s + c],
+                     np.asarray(p.data3)[s:s + c])
+
+
+def pack_scene_mesh(scene, part, plan: MeshPlan | None = None) -> MeshPack:
     """Pack one SceneStatic mesh part (rows [start, start+count))."""
     p = scene.primitives
     s, c = part.start, part.count
-    d1 = np.asarray(p.data1)[s:s + c]
-    d2 = np.asarray(p.data2)[s:s + c]
-    d3 = np.asarray(p.data3)[s:s + c]
-    return pack_mesh(d1, d2, d3, np.arange(s, s + c))
+    if plan is None:
+        plan = plan_scene_mesh(scene, part)
+    return pack_from_plan(plan, jnp.asarray(p.data1)[s:s + c],
+                          jnp.asarray(p.data2)[s:s + c],
+                          jnp.asarray(p.data3)[s:s + c],
+                          np.arange(s, s + c))

@@ -17,6 +17,15 @@ sweep, kernels/megakernel.py build_backward) producing cotangents for
 the primitive table, the spectra planes, and the input rays; XLA then
 transposes the surrounding gathers/ray-gen/CIE conversion automatically,
 so gradients reach every scene leaf (geometry, spectra, camera).
+
+Mesh scenes (static.mesh_parts non-empty) use backward="replay"
+instead: the forward kernel runs in taped mode, recording each bounce's
+closest-hit and shadow-scan winner indices, and the backward
+differentiates a scan-free guided replay (tracer/replay.py) that
+re-tests only the winning primitive per bounce — O(rays * depth)
+regardless of triangle count, with XLA doing the winner gather and the
+cotangent scatter back into the (P, 12) primitive table.
+
 backward="xla" falls back to recompute-vjp through the XLA tracer
 (identical pcg4d streams -> identical sampling decisions -> the same
 gradient, slower).
@@ -41,8 +50,10 @@ SceneStatic = mk.SceneStatic
 
 
 @functools.lru_cache(maxsize=64)
-def _forward_cached(static, max_depth, rr_start, tile_m, interpret):
-    return mk.build_forward(static, max_depth, rr_start, tile_m, interpret)
+def _forward_cached(static, max_depth, rr_start, tile_m, interpret,
+                    taped=False):
+    return mk.build_forward(static, max_depth, rr_start, tile_m, interpret,
+                            taped=taped)
 
 
 @functools.lru_cache(maxsize=64)
@@ -80,9 +91,61 @@ def _call_bwd(fwd, bwd, res, g):
 _call_with_vjp.defvjp(_call_fwd, _call_bwd)
 
 
+def _zero_cot(x):
+    """Cotangent for a non-differentiable argument."""
+    import numpy as np
+
+    if jnp.issubdtype(jnp.result_type(x), jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _mesh_call(fwd_taped, static, max_depth, rr_start,
+               prims_full, rays, seeds, spect_p, cats, mesh_arrays):
+    """Mesh-scene kernel call whose backward is the guided replay.
+
+    prims_full is the FULL (P, 12) primitive table (the replay gathers
+    winners by global id); the kernel itself consumes only the unrolled
+    rows plus the packed mesh arrays."""
+    prims_u = prims_full[jnp.asarray(static.rows)]
+    out = fwd_taped(prims_u, rays, seeds, spect_p, *mesh_arrays)
+    return out[0]
+
+
+def _mesh_fwd(fwd_taped, static, max_depth, rr_start,
+              prims_full, rays, seeds, spect_p, cats, mesh_arrays):
+    prims_u = prims_full[jnp.asarray(static.rows)]
+    out, tape_idx, tape_sh = fwd_taped(prims_u, rays, seeds, spect_p,
+                                       *mesh_arrays)
+    return out, (prims_full, rays, seeds, spect_p, cats, mesh_arrays,
+                 tape_idx, tape_sh)
+
+
+def _mesh_bwd(fwd_taped, static, max_depth, rr_start, res, g):
+    from computeraytracer_tpu.tracer import replay as replay_mod
+
+    (prims_full, rays, seeds, spect_p, cats, mesh_arrays,
+     tape_idx, tape_sh) = res
+
+    def f(pf, r, sp):
+        return replay_mod.trace_replay(static, cats, pf, r, seeds, sp,
+                                       tape_idx, tape_sh, max_depth,
+                                       rr_start)
+
+    _, vjp = jax.vjp(f, prims_full, rays, spect_p)
+    dpf, dr, dsp = vjp(g)
+    return (dpf, dr, _zero_cot(seeds), dsp, _zero_cot(cats),
+            jax.tree_util.tree_map(_zero_cot, mesh_arrays))
+
+
+_mesh_call.defvjp(_mesh_fwd, _mesh_bwd)
+
+
 def mesh_packs_for(scene, static: SceneStatic):
-    """Host-side chunk packing for every mesh part (needs a concrete
-    scene: Morton order is data-dependent)."""
+    """Chunk + BVH packing for every mesh part. The Morton order and
+    tree structure need a concrete scene (data-dependent argsort); the
+    boxes themselves are jnp and re-derive from live geometry."""
     from computeraytracer_tpu.kernels import meshpack
     return tuple(meshpack.pack_scene_mesh(scene, part)
                  for part in static.mesh_parts)
@@ -91,15 +154,19 @@ def mesh_packs_for(scene, static: SceneStatic):
 def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                    rr_start: int = 1, tile_m: int | None = None,
                    static: SceneStatic | None = None,
-                   backward: str = "pallas", mesh_packs=None):
+                   backward: str = "pallas", mesh_packs=None,
+                   mesh_plans=None):
     """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance.
 
     Differentiable w.r.t. scene geometry/spectra and the rays (o, d).
-    Scenes whose static has mesh_parts run the chunked Morton mesh scan
-    (forward only — gradients use the backward='xla' fallback at the
-    render_pixels level). tile_m=None picks DEFAULT_TILE_M, or
-    MESH_TILE_M for mesh scenes (smaller tiles cull chunks better: a
-    chunk is skipped only when EVERY ray in the tile misses its box).
+    Scenes whose static has mesh_parts run the BVH-over-chunks mesh
+    scan; their gradients use the taped guided replay (backward
+    upgrades from "pallas" to "replay" automatically). Under an outer
+    jit with a TRACED scene, pass mesh_plans (host-computed, see
+    kernels/meshpack.make_plan) so the packs re-derive from the live
+    geometry. tile_m=None picks DEFAULT_TILE_M, or MESH_TILE_M for mesh
+    scenes (smaller tiles cull better: a box is entered only when ANY
+    ray in the tile can hit it).
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
@@ -108,11 +175,17 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     mesh_arrays = ()
     if static.mesh_parts:
         if mesh_packs is None:
-            mesh_packs = mesh_packs_for(scene, static)
-        mesh_arrays = tuple(
-            jnp.asarray(a) for p in mesh_packs
-            for a in (p.tri_rows, p.chunk_bbox))
-        backward = "none"  # handled by render_pixels' xla fallback
+            from computeraytracer_tpu.kernels import meshpack
+            if mesh_plans is None:
+                mesh_plans = tuple(meshpack.plan_scene_mesh(scene, part)
+                                   for part in static.mesh_parts)
+            mesh_packs = tuple(
+                meshpack.pack_scene_mesh(scene, part, plan)
+                for part, plan in zip(static.mesh_parts, mesh_plans))
+        mesh_arrays = tuple(jnp.asarray(a) for p in mesh_packs
+                            for a in p.arrays)
+        if backward == "pallas":
+            backward = "replay"
     r = o.shape[0]
     tile = tile_m * LANES
     r_pad = ((r + tile - 1) // tile) * tile
@@ -142,15 +215,24 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     spect_p = spect.reshape(s_n * 4, m, LANES)
 
     interpret = _use_interpret()
-    fwd = _forward_cached(static, int(max_depth), int(rr_start), tile_m,
-                          interpret)
 
-    if backward == "pallas":
+    if backward == "replay":
+        fwd_t = _forward_cached(static, int(max_depth), int(rr_start),
+                                tile_m, interpret, True)
+        cats = jnp.asarray(scene.primitives.category, jnp.int32)
+        out = _mesh_call(fwd_t, static, int(max_depth), int(rr_start),
+                         mk.pack_prims(scene), rays, seeds, spect_p,
+                         cats, mesh_arrays)
+    elif backward == "pallas":
+        fwd = _forward_cached(static, int(max_depth), int(rr_start),
+                              tile_m, interpret)
         bwd = _backward_cached(static, int(max_depth), int(rr_start),
                                tile_m, interpret)
         out = _call_with_vjp(fwd, bwd, mk.pack_prims(scene, static), rays,
                              seeds, spect_p)
     else:
+        fwd = _forward_cached(static, int(max_depth), int(rr_start),
+                              tile_m, interpret)
         out = fwd(mk.pack_prims(scene, static), rays, seeds, spect_p,
                   *mesh_arrays)
     return out.reshape(4, r_pad)[:, :r].T  # (R, 4)
@@ -160,19 +242,18 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
                   backward: str = "pallas", mesh_packs=None,
-                  tile_m: int | None = None):
+                  tile_m: int | None = None, mesh_plans=None):
     """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
 
     With backward="pallas" (default) this is a plain differentiable
-    composition: the kernel's custom_vjp covers the trace, XLA AD covers
-    camera ray-gen, the spectra gather, and the CIE conversion. With
-    backward="xla" (forced when the static has mesh parts) the whole
-    pixel function gets a recompute-vjp through the XLA tracer instead.
+    composition: the kernel's custom_vjp covers the trace (the taped
+    guided replay for mesh scenes), XLA AD covers camera ray-gen, the
+    spectra gather, and the CIE conversion. With backward="xla" the
+    whole pixel function gets a recompute-vjp through the XLA tracer
+    instead (slow at mesh scale: no BVH in that path's backward).
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
-    if static.mesh_parts and backward == "pallas":
-        backward = "xla"
     scene = scene_data.as_jax(scene)
     sample_u = jnp.asarray(sample, jnp.uint32)
 
@@ -185,10 +266,11 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
         radiance = trace_radiance(scene, o, d, lambdas, seed, max_depth,
                                   rr_start, tile_m=tile_m, static=static,
                                   backward=backward,
-                                  mesh_packs=mesh_packs)
+                                  mesh_packs=mesh_packs,
+                                  mesh_plans=mesh_plans)
         return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
 
-    if backward == "pallas":
+    if backward != "xla":
         return run(scene, sample_u)
 
     import numpy as np
@@ -218,15 +300,16 @@ def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
                   backward: str = "pallas", mesh_packs=None,
-                  tile_m: int | None = None, **_):
+                  tile_m: int | None = None, mesh_plans=None, **_):
     if static is None:
         static = SceneStatic.from_scene(scene)
-    if static.mesh_parts and mesh_packs is None:
+    if static.mesh_parts and mesh_packs is None and mesh_plans is None:
         mesh_packs = mesh_packs_for(scene, static)
     px, py = xla_tracer.tile_coords(width, height, 0)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
                         rr_start, static=static, backward=backward,
-                        mesh_packs=mesh_packs, tile_m=tile_m)
+                        mesh_packs=mesh_packs, tile_m=tile_m,
+                        mesh_plans=mesh_plans)
     return xyz.reshape(height, width, 3)
 
 

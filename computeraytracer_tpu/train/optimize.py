@@ -58,17 +58,24 @@ def merge_scene(static_scene, params):
 
 def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
                     first_sample=1, mesh=None, use_remat=True,
-                    kernel: str = "xla", kernel_static=None):
+                    kernel: str = "xla", kernel_static=None,
+                    kernel_plans=None):
     """Mean XYZ over spp samples; kernel: "xla" or "pallas" (megakernel
-    fwd+bwd — pass kernel_static=SceneStatic.from_scene(scene) when
-    tracing inside jit/grad)."""
+    fwd+bwd — pass kernel_static=SceneStatic.from_scene(scene), and for
+    mesh scenes kernel_plans=(meshpack.plan_scene_mesh(...) per part),
+    when tracing inside jit/grad)."""
     if kernel == "pallas":
         from computeraytracer_tpu.tracer import pallas as pallas_tracer
         if kernel_static is None:
             kernel_static = pallas_tracer.SceneStatic.from_scene(scene)
+        if kernel_plans is None and kernel_static.mesh_parts:
+            from computeraytracer_tpu.kernels import meshpack
+            kernel_plans = tuple(
+                meshpack.plan_scene_mesh(scene, part)
+                for part in kernel_static.mesh_parts)
         render_one = lambda s: pallas_tracer.render_sample(
             scene, width, height, s, max_depth, rr_start,
-            static=kernel_static)
+            static=kernel_static, mesh_plans=kernel_plans)
     else:
         render_one = lambda s: xla_tracer.render_sample(
             scene, width, height, s, max_depth, rr_start, use_remat)
@@ -94,15 +101,23 @@ def make_loss_fn(static_scene, width, height, spp, max_depth,
                  kernel: str = "xla"):
     """L2 loss in XYZ between the rendered mean and a target image."""
     kernel_static = None
+    kernel_plans = None
     if kernel == "pallas":
         from computeraytracer_tpu.tracer import pallas as pallas_tracer
         kernel_static = pallas_tracer.SceneStatic.from_scene(static_scene)
+        if kernel_static.mesh_parts:
+            from computeraytracer_tpu.kernels import meshpack
+            # Morton order + tree structure pinned to the INITIAL
+            # geometry; boxes re-derive from live params inside the jit
+            kernel_plans = tuple(
+                meshpack.plan_scene_mesh(static_scene, part)
+                for part in kernel_static.mesh_parts)
 
     def loss_fn(params, target, first_sample):
         scene = merge_scene(static_scene, params)
         img = render_mean_xyz(scene, width, height, spp, max_depth,
                               rr_start, first_sample, mesh, use_remat,
-                              kernel, kernel_static)
+                              kernel, kernel_static, kernel_plans)
         return jnp.mean((img - target) ** 2)
 
     return loss_fn

@@ -1,0 +1,113 @@
+"""Chunk-BVH packing invariants (kernels/meshpack.py).
+
+The kernel traversal is only correct if the DFS/skip structure
+partitions the tree and every node box bounds its descendant chunks;
+these tests pin that contract, plus the jit-repack path used by
+vertex-optimization training (boxes re-derive from traced geometry)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from computeraytracer_tpu.kernels import meshpack
+from computeraytracer_tpu.scene import mesh as mesh_ops
+
+
+def _ico(sub=2):
+    v, f = mesh_ops.icosphere(sub)
+    p0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - p0
+    e2 = v[f[:, 2]] - p0
+    return p0, e1, e2
+
+
+def test_dfs_structure_partitions():
+    for n_groups in (1, 2, 8, 32):
+        perm, meta = meshpack._dfs_structure(n_groups)
+        n_nodes = 2 * n_groups - 1
+        assert perm.shape == (n_nodes,)
+        assert sorted(perm.tolist()) == list(range(n_nodes))
+        # walk the skip links from the root: visiting every node via
+        # "descend" (+1) must enumerate DFS order; skipping from the
+        # root must land exactly past the end
+        assert meta[0, 0] == n_nodes
+        leaves = meta[meta[:, 2] == 1]
+        assert leaves.shape[0] == n_groups
+        # leaves cover all chunks exactly once, in some order
+        starts = sorted(leaves[:, 1].tolist())
+        assert starts == [i * meshpack.LEAF_CHUNKS for i in range(n_groups)]
+        # every skip target is a valid DFS slot or the end
+        assert ((meta[:, 0] > 0) & (meta[:, 0] <= n_nodes)).all()
+
+
+def test_node_boxes_bound_chunks():
+    p0, e1, e2 = _ico(3)
+    plan = meshpack.make_plan(p0, e1, e2)
+    pack = meshpack.pack_from_plan(plan, p0, e1, e2,
+                                   np.arange(p0.shape[0]))
+    cbox = np.asarray(pack.chunk_bbox)
+    nbox = np.asarray(pack.node_bbox)
+    meta = np.asarray(pack.node_meta)
+    # reconstruct each node's chunk range from the complete-tree shape:
+    # a node's leaves-below = (skip - dfs_index + 1) / 2
+    for d in range(meta.shape[0]):
+        span = (meta[d, 0] - d + 1) // 2 * meshpack.LEAF_CHUNKS
+        c0 = meta[d, 1]
+        lo, hi = nbox[d, 0:3], nbox[d, 3:6]
+        for k in range(c0, c0 + span):
+            clo, chi = cbox[k, 0:3], cbox[k, 3:6]
+            if (clo >= meshpack.BIG / 2).all():
+                continue  # empty padding chunk
+            assert (lo <= clo + 1e-5).all() and (hi >= chi - 1e-5).all()
+
+
+def test_chunk_boxes_bound_triangles():
+    p0, e1, e2 = _ico(2)
+    n = p0.shape[0]
+    plan = meshpack.make_plan(p0, e1, e2)
+    pack = meshpack.pack_from_plan(plan, p0, e1, e2, np.arange(n))
+    rows = np.asarray(pack.tri_rows).reshape(-1, meshpack.LANES_PER_TRI)
+    cbox = np.asarray(pack.chunk_bbox)
+    ids = rows[:, 9]
+    for t in range(rows.shape[0]):
+        if ids[t] < 0:
+            continue
+        k = t // meshpack.TRIS_PER_CHUNK
+        v0 = rows[t, 0:3]
+        corners = np.stack([v0, v0 + rows[t, 3:6], v0 + rows[t, 6:9]])
+        assert (cbox[k, 0:3] <= corners.min(0) + 1e-5).all()
+        assert (cbox[k, 3:6] >= corners.max(0) - 1e-5).all()
+    # all real triangle ids present exactly once
+    real = np.sort(ids[ids >= 0]).astype(int)
+    np.testing.assert_array_equal(real, np.arange(n))
+
+
+def test_pack_from_plan_traced_geometry():
+    """Training moves vertices inside jit; the repack must trace."""
+    p0, e1, e2 = _ico(1)
+    plan = meshpack.make_plan(p0, e1, e2)
+    ids = np.arange(p0.shape[0])
+
+    @jax.jit
+    def repack(p0j):
+        pack = meshpack.pack_from_plan(plan, p0j, e1, e2, ids)
+        return pack.node_bbox, pack.chunk_bbox
+
+    nb1, _ = repack(jnp.asarray(p0))
+    nb2, _ = repack(jnp.asarray(p0) + 5.0)
+    # boxes follow the geometry
+    np.testing.assert_allclose(np.asarray(nb2[0, 0:3]),
+                               np.asarray(nb1[0, 0:3]) + 5.0, atol=1e-4)
+
+
+def test_empty_padding_boxes_are_far():
+    p0, e1, e2 = _ico(2)  # 320 tris -> 3 real chunks, padded to 4+
+    plan = meshpack.make_plan(p0, e1, e2)
+    pack = meshpack.pack_from_plan(plan, p0, e1, e2,
+                                   np.arange(p0.shape[0]))
+    cbox = np.asarray(pack.chunk_bbox)
+    n_real = -(-p0.shape[0] // meshpack.TRIS_PER_CHUNK)
+    if cbox.shape[0] > n_real:
+        assert (cbox[n_real:, 0:3] >= meshpack.BIG / 2).all()
+        assert (cbox[n_real:, 3:6] >= meshpack.BIG / 2).all()

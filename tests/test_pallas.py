@@ -65,8 +65,10 @@ def test_mesh_chunk_scan_matches_xla():
     assert (rel < 1e-4).all(axis=-1).mean() >= 0.999, rel.max()
 
 
-def test_mesh_scene_gradients_fall_back_to_xla():
-    """Mesh-part scenes auto-fallback to the XLA recompute vjp."""
+def test_mesh_scene_gradients_via_replay():
+    """Mesh-part gradients flow through the taped guided replay
+    (tracer/replay.py): vertex positions (data1) AND spectra both match
+    JAX AD of the XLA tracer — the BASELINE config-3 capability."""
     import jax
 
     from computeraytracer_tpu.kernels.megakernel import SceneStatic
@@ -76,17 +78,27 @@ def test_mesh_scene_gradients_fall_back_to_xla():
     static = SceneStatic.from_scene(scene, mesh_min=16)
     assert static.mesh_parts
 
-    def loss(tracer, spectra, **kw):
-        s = scene._replace(spectra=spectra)
+    def loss(tracer, d1, spectra, **kw):
+        s = scene._replace(
+            primitives=scene.primitives._replace(data1=d1),
+            spectra=spectra)
         return jnp.sum(tracer.render_sample(s, 8, 8, 1, max_depth=2,
                                             **kw) ** 2)
 
+    d1 = jnp.asarray(scene.primitives.data1)
     sp = jnp.asarray(scene.spectra)
-    g_pal = np.asarray(jax.grad(
-        lambda a: loss(pallas_tracer, a, static=static))(sp))
-    g_xla = np.asarray(jax.grad(lambda a: loss(xla_tracer, a))(sp))
-    assert np.isfinite(g_pal).all()
-    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-3, atol=1e-5)
+    g_pal = jax.grad(lambda a, b: loss(pallas_tracer, a, b, static=static),
+                     argnums=(0, 1))(d1, sp)
+    g_xla = jax.grad(lambda a, b: loss(xla_tracer, a, b),
+                     argnums=(0, 1))(d1, sp)
+    for gp, gx in zip(g_pal, g_xla):
+        gp, gx = np.asarray(gp), np.asarray(gx)
+        assert np.isfinite(gp).all()
+        scale = max(np.abs(gx).max(), 1e-6)
+        np.testing.assert_allclose(gp / scale, gx / scale,
+                                   rtol=1e-3, atol=1e-4)
+    # mesh-triangle rows (>= row 6) actually received vertex gradient
+    assert np.abs(np.asarray(g_pal[0])[6:]).max() > 0
 
 
 @pytest.mark.parametrize("backward", ["pallas", "xla"])
