@@ -66,6 +66,11 @@ def main() -> int:
                     "loop amortizes it (lax.scan over samples)")
     ap.add_argument("--forward", action="store_true",
                     help="forward-only instead of fwd+bwd")
+    ap.add_argument("--scaling", action="store_true",
+                    help="measure dp=1 vs dp=all device-scaling "
+                    "efficiency of the sharded renderer instead of the "
+                    "headline metric (BASELINE.md >=0.85 target; needs "
+                    ">1 visible device to be informative)")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +90,38 @@ def main() -> int:
     spp = args.spp
     paths = w * h * spp
     samples = jnp.arange(1, spp + 1, dtype=jnp.uint32)
+
+    if args.scaling:
+        # BASELINE.md "multi-host scaling efficiency": throughput at
+        # dp=all devices over (n_devices x throughput at dp=1), same
+        # per-device kernel. On a 1-chip host this validates the
+        # harness (efficiency 1.0 by construction); the >=0.85 target
+        # is a pod-scale number.
+        from computeraytracer_tpu.parallel import mesh as mesh_mod
+        from computeraytracer_tpu.parallel import render_sharded
+
+        devs = jax.devices()
+        n = len(devs)
+        kernel = "xla" if jax.default_backend() == "cpu" else "pallas"
+
+        def run(mesh):
+            return lambda: render_sharded.render_accumulate_sharded(
+                scene, w, h, spp, mesh, max_depth=args.depth,
+                kernel=kernel)
+
+        t1 = _time(run(mesh_mod.make_mesh(devs[:1], shape=(1, 1))),
+                   args.iters)
+        tn = _time(run(mesh_mod.make_mesh(devs, shape=(n, 1))),
+                   args.iters)
+        eff = (paths / tn) / (n * (paths / t1)) if n > 1 else 1.0
+        print(json.dumps({
+            "metric": "dp_scaling_efficiency",
+            "value": round(eff, 4), "unit": "fraction",
+            "n_devices": n, "kernel": kernel,
+            "seconds_dp1": round(t1, 4), "seconds_dpN": round(tn, 4),
+            "vs_baseline": round(eff / 0.85, 4),
+        }))
+        return 0
 
     def accumulate(tracer, s, **kw):
         # the training loop's sample scan: one dispatch, spp samples
@@ -136,6 +173,24 @@ def main() -> int:
             "unit": "Mpaths/s",
             "vs_baseline": round(pal_rate / xla_rate, 4),
         }
+        try:
+            # speed-of-light fraction: measured wall time vs the
+            # analytic roofline at the MEASURED mean path depth
+            # (BASELINE.md phrases the per-chip target in SoL terms)
+            from computeraytracer_tpu.utils import profiling
+
+            md = profiling.measure_mean_depth(
+                scene, 256, 256, max_depth=args.depth)
+            rl = profiling.roofline(
+                w, h, spp, args.depth,
+                n_prims=int(scene.primitives.count),
+                mean_depth=md, chip=profiling.detect_chip(),
+                backward=not args.forward)
+            result["sol_fraction"] = round(rl.fraction(pal_s), 4)
+            result["mean_depth"] = round(md, 3)
+        except Exception as e:  # SoL reporting must never sink the bench
+            print(f"sol_fraction unavailable ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     except Exception as e:  # pallas path must never zero out the bench
         print(f"pallas bench failed ({type(e).__name__}: {e}); "
               f"reporting naive XLA tracer", file=sys.stderr)

@@ -18,26 +18,38 @@ def main():
     from computeraytracer_tpu.scene import presets, scene_from_dict
     from computeraytracer_tpu.tracer import pallas as pt
 
+    import jax.numpy as jnp
+
     w = h = 256
+    spp = 4  # amortize the ~110ms host/tunnel dispatch latency the way
+    #          real renders do (lax.scan over samples, one dispatch)
     for sub in (6, 7):
         scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=sub))
         static = pt.SceneStatic.from_scene(scene)
         packs = pt.mesh_packs_for(scene, static)
         n = int(np.asarray(scene.primitives.category).shape[0])
         for tile_m in (8, 16, 32):
-            for depth in (0, 2):
-                f = jax.jit(lambda s, _d=depth, _st=static, _tm=tile_m:
-                            pt.render_sample(
-                                s, w, h, 1, max_depth=_d, static=_st,
-                                mesh_packs=packs, tile_m=_tm).sum())
+            for depth in (0, 2, 3):
+                def render(s, _d=depth, _st=static, _tm=tile_m):
+                    def body(acc, k):
+                        return acc + pt.render_sample(
+                            s, w, h, k, max_depth=_d, static=_st,
+                            mesh_packs=packs, tile_m=_tm), None
+                    acc, _ = jax.lax.scan(
+                        body, jnp.zeros((h, w, 3), jnp.float32),
+                        jnp.arange(1, spp + 1, dtype=jnp.uint32))
+                    return acc.sum()
+
+                f = jax.jit(render)
                 jax.block_until_ready(f(scene))
                 t0 = time.perf_counter()
                 x = f(scene)
                 jax.block_until_ready(x)
                 np.asarray(x)
                 dt = time.perf_counter() - t0
+                mp = w * h * spp / dt / 1e6
                 print(f"tris={n:7d} tile_m={tile_m:2d} depth={depth}  "
-                      f"{dt*1e3:9.1f} ms")
+                      f"{dt/spp*1e3:9.1f} ms/sample  {mp:7.3f} Mpaths/s")
 
 
 main()

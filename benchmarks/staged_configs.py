@@ -79,14 +79,16 @@ def config2():
 
 
 def config3(full=False):
-    """~70K-tri mesh at 1024^2 (8 spp when --full), plus vertex+albedo
-    gradient checks vs finite differences at test scale."""
+    """~70K-tri mesh at 1024^2 (8 spp when --full): forward throughput,
+    full-resolution vertex+albedo gradients through the Pallas taped
+    replay backward, and a finite-difference check at test scale —
+    everything on the Pallas path (no XLA fallback)."""
     import jax
     import jax.numpy as jnp
 
+    from computeraytracer_tpu.kernels import meshpack
     from computeraytracer_tpu.scene import presets, scene_from_dict
     from computeraytracer_tpu.tracer import pallas as pt
-    from computeraytracer_tpu.tracer import xla as xt
 
     w = h = 1024
     spp = 8 if full else 1
@@ -96,13 +98,38 @@ def config3(full=False):
         lambda: pt.render_accumulate(scene, w, h, spp=spp, max_depth=3),
         w * h * spp, iters=1)
 
-    # FD gradient check (test-scale scene: FD at 1024^2 is pure noise)
+    # full-resolution vertex+albedo gradient through the taped replay
+    static = pt.SceneStatic.from_scene(scene)
+    plans = tuple(meshpack.plan_scene_mesh(scene, part)
+                  for part in static.mesh_parts)
+
+    def loss_full(d1, sp):
+        s = scene._replace(
+            primitives=scene.primitives._replace(data1=d1), spectra=sp)
+        return jnp.sum(pt.render_sample(s, w, h, 1, max_depth=3,
+                                        static=static, mesh_plans=plans))
+
+    d1f = jnp.asarray(scene.primitives.data1)
+    spf = jnp.asarray(scene.spectra)
+    gfn = jax.jit(jax.value_and_grad(loss_full, argnums=(0, 1)))
+    tg, _ = _time_render(lambda: gfn(d1f, spf), w * h, iters=1)
+    _, (gd1, gsp) = gfn(d1f, spf)
+    grads_finite = bool(np.isfinite(np.asarray(gd1)).all()
+                        and np.isfinite(np.asarray(gsp)).all())
+    mesh_grad_nonzero = bool(np.abs(np.asarray(gd1)[6:]).max() > 0)
+
+    # FD gradient check (test-scale scene: FD at 1024^2 is pure noise),
+    # also through the Pallas replay backward
     gw = gh = 32
     gscene, _ = scene_from_dict(presets.mesh_scene(gw, gh, subdivisions=2))
+    gstatic = pt.SceneStatic.from_scene(gscene)
+    gplans = tuple(meshpack.plan_scene_mesh(gscene, part)
+                   for part in gstatic.mesh_parts)
 
     def loss(d1):
         s = gscene._replace(primitives=gscene.primitives._replace(data1=d1))
-        return jnp.sum(xt.render_sample(s, gw, gh, 1, max_depth=2))
+        return jnp.sum(pt.render_sample(s, gw, gh, 1, max_depth=2,
+                                        static=gstatic, mesh_plans=gplans))
 
     d1 = jnp.asarray(gscene.primitives.data1)
     g = jax.grad(loss)(d1)
@@ -120,6 +147,9 @@ def config3(full=False):
     _emit({"config": 3, "scene": f"mesh {n_tris} tris 1024^2 spp{spp}",
            "scaled_down": not full, "seconds": round(t, 3),
            "mpaths_per_s": round(mpaths, 4),
+           "fwd_bwd_seconds_1spp": round(tg, 3),
+           "grads_finite": grads_finite,
+           "mesh_vertex_grad_nonzero": mesh_grad_nonzero,
            "vertex_grad_ad": ad, "vertex_grad_fd": fd,
            "grad_rel_err": round(rel, 4)})
 

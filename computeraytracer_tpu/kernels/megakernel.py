@@ -57,7 +57,8 @@ T_MIN = 0.001
 ETA1, ETA2 = 1.0, 1.5
 LANES = 128
 DEFAULT_TILE_M = 32  # 32 x 128 = 4096 rays per grid step
-MESH_TILE_M = 8      # mesh scenes: native-vreg tiles cull chunks better
+MESH_TILE_M = 32     # mesh scenes: 64x64 pixel blocks (tracer/pallas.py
+#                      _block_order); measured best across depths on v5e
 N_DIFF = 16  # differentiable carry planes: o3 d3 L4 beta4 last_pdf eta_scale
 
 
@@ -607,7 +608,28 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
                    l_o[1] + u_p * l_e1[1] + v_p * l_e2[1],
                    l_o[2] + u_p * l_e1[2] + v_p * l_e2[2])
             ldir = _vnormalize(_vsub(p_l, hit["pos"]))
-            sh = scan_fn(("nee", l_i), hit["pos"], ldir, hit["idx"])
+            if static.mesh_parts:
+                # mesh scenes: the shadow scan is a full BVH traversal —
+                # skip it when no lane in the tile picked this light
+                # (replay stays consistent: a skipped scan tapes -1,
+                # and the -1 path contributes exactly 0 either way)
+                # cond carries no i1 vectors (Mosaic can't legalize
+                # them through scf.if): hit re-derives from idx after
+                def _sh_scan(_, _li=l_i, _pos=hit["pos"], _ld=ldir,
+                             _ex=hit["idx"]):
+                    s = scan_fn(("nee", _li), _pos, _ld, _ex)
+                    return (s["t"], s["idx"]) + s["pos"] + s["nrm"]
+
+                def _sh_none(_):
+                    return (jnp.full(shape, jnp.inf, jnp.float32),
+                            jnp.full(shape, -1, jnp.int32),
+                            zero, zero, zero, zero, zero, zero)
+
+                flat = jax.lax.cond(jnp.any(lsel), _sh_scan, _sh_none, 0)
+                sh = {"t": flat[0], "idx": flat[1], "hit": flat[1] >= 0,
+                      "pos": flat[2:5], "nrm": flat[5:8]}
+            else:
+                sh = scan_fn(("nee", l_i), hit["pos"], ldir, hit["idx"])
             sh_idx_aux.append(sh["idx"])
             unocc = sh["hit"] & (sh["idx"] == lr)
             cos_t = jnp.maximum(0.0, _vdot(hit["nrm"], ldir))
@@ -907,6 +929,116 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         return out
 
     return forward
+
+
+# ---------------------------------------------------------------------------
+# wavefront single-bounce kernel: one depth per dispatch, carry in HBM
+# ---------------------------------------------------------------------------
+
+
+def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
+                      tile_m: int = DEFAULT_TILE_M,
+                      interpret: bool = False):
+    """One bounce as its own pallas_call (the wavefront path).
+
+    The megakernel loops bounces inside one kernel, so a ray tile keeps
+    its CAMERA coherence for every bounce — after the first diffuse
+    bounce the tile's rays point everywhere and the chunk-BVH cull
+    collapses to a full scan. The wavefront orchestrator
+    (tracer/pallas.py trace_radiance_wavefront) instead re-sorts the
+    ray population BETWEEN bounces (direction octant + position Morton)
+    in XLA, so every dispatch of this kernel sees spatially coherent
+    tiles. Per-ray arithmetic is identical to the megakernel — same
+    bounce function, same pcg4d draws — so results match bit-for-bit.
+
+    Returns f(depth (1,1) i32, prims_f (P,12), carry_f (16,M,128) f32,
+    carry_u (4,M,128) u32, carry_i (4,M,128) i32, spect (S4,M,128),
+    *mesh_arrays) -> (carry_f', carry_u', carry_i', tape_idx (M,128)
+    i32, tape_sh (n_lights,M,128) i32).
+    """
+    S = static.n_spectra
+    shape = (tile_m, LANES)
+    bounce = make_bounce(static, shape, max_depth, rr_start)
+    parts = static.mesh_parts
+    n_lights = max(1, len(static.light_rows))
+
+    def kernel(depth_ref, prims_ref, cf_ref, cu_ref, ci_ref, spect_ref,
+               *rest):
+        mesh_refs = rest[:-5]
+        cf_out, cu_out, ci_out, tidx_ref, tsh_ref = rest[-5:]
+        depth = depth_ref[0, 0]
+        getp = lambda i, j: prims_ref[i, j]
+        gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
+                                 for j in range(4))
+        accessors = _make_accessors(parts, mesh_refs)
+        carry = tuple(cf_ref[p] for p in range(N_DIFF)) + \
+            tuple(cu_ref[k] for k in range(4)) + \
+            tuple(ci_ref[k] for k in range(4))
+        neg = jnp.full(shape, -1, jnp.int32)
+
+        def do(carry):
+            diff = _unpack_diff(carry[:N_DIFF])
+            nondiff = _unpack_nd(carry[N_DIFF:])
+            diff, nondiff, aux = bounce(getp, gets, diff, nondiff,
+                                        depth, accessors)
+            hit_idx, sh_idx = aux
+            sh = list(sh_idx) + [neg] * (n_lights - len(sh_idx))
+            return (_pack_diff(diff) + _pack_nd(nondiff),
+                    (hit_idx, tuple(sh)))
+
+        carry, aux = jax.lax.cond(
+            jnp.any(carry[-1] != 0), do,
+            lambda c: (c, (neg, (neg,) * n_lights)), carry)
+        for p in range(N_DIFF):
+            cf_out[p] = carry[p]
+        for k in range(4):
+            cu_out[k] = carry[N_DIFF + k]
+        for k in range(4):
+            ci_out[k] = carry[N_DIFF + 4 + k]
+        tidx_ref[:] = aux[0]
+        for l_i in range(n_lights):
+            tsh_ref[l_i] = aux[1][l_i]
+
+    @jax.jit
+    def step(depth, prims_f, carry_f, carry_u, carry_i, spect,
+             *mesh_arrays):
+        m = carry_f.shape[1]
+        grid = (m // tile_m,)
+        s4 = S * 4
+        tile = lambda k: pl.BlockSpec((k, tile_m, LANES),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)
+        mesh_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
+                      for _ in range(ARRAYS_PER_PART * len(parts))]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                tile(N_DIFF), tile(4), tile(4), tile(s4),
+                *mesh_specs,
+            ],
+            out_specs=[
+                tile(N_DIFF), tile(4), tile(4),
+                pl.BlockSpec((tile_m, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_lights, tile_m, LANES),
+                             lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N_DIFF, m, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((4, m, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((4, m, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((n_lights, m, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(depth, prims_f, carry_f, carry_u, carry_i, spect, *mesh_arrays)
+
+    return step
 
 
 # ---------------------------------------------------------------------------

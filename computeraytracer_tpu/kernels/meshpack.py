@@ -175,11 +175,18 @@ def pack_from_plan(plan: MeshPlan, p0, e1, e2, prim_ids) -> MeshPack:
     ids = jnp.full((n_pad,), -1.0, jnp.float32).at[:n].set(
         jnp.asarray(prim_ids)[order].astype(jnp.float32))
 
-    # rows of 8 tris x 16 lanes
-    comp = jnp.zeros((n_pad, LANES_PER_TRI), jnp.float32)
-    comp = comp.at[:, 0:3].set(p0s).at[:, 3:6].set(e1s).at[:, 6:9].set(e2s)
-    comp = comp.at[:, 9].set(ids)
-    tri_rows = comp.reshape(n_pad // TRIS_PER_ROW,
+    # rows of 8 tris x 16 lanes. Only REAL chunks get triangle storage:
+    # fully-padded chunks sit behind far-away boxes the traversal never
+    # enters, so their rows would never be read — the tree structure is
+    # padded to a power of two, the triangle array is not.
+    n_real_chunks = max(1, -(-n // TRIS_PER_CHUNK))
+    n_real = n_real_chunks * TRIS_PER_CHUNK
+    comp = jnp.zeros((n_real, LANES_PER_TRI), jnp.float32)
+    comp = comp.at[:, 0:3].set(p0s[:n_real])
+    comp = comp.at[:, 3:6].set(e1s[:n_real])
+    comp = comp.at[:, 6:9].set(e2s[:n_real])
+    comp = comp.at[:, 9].set(ids[:n_real])
+    tri_rows = comp.reshape(n_real // TRIS_PER_ROW,
                             TRIS_PER_ROW * LANES_PER_TRI)
 
     # triangle AABBs -> chunk AABBs; padding tris excluded via +-inf,

@@ -61,6 +61,12 @@ def _backward_cached(static, max_depth, rr_start, tile_m, interpret):
     return mk.build_backward(static, max_depth, rr_start, tile_m, interpret)
 
 
+@functools.lru_cache(maxsize=64)
+def _bounce_step_cached(static, max_depth, rr_start, tile_m, interpret):
+    return mk.build_bounce_step(static, max_depth, rr_start, tile_m,
+                                interpret)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -142,6 +148,130 @@ def _mesh_bwd(fwd_taped, static, max_depth, rr_start, res, g):
 _mesh_call.defvjp(_mesh_fwd, _mesh_bwd)
 
 
+def _spread10(v):
+    """10-bit -> 30-bit Morton spread on uint32 vectors."""
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _wavefront_keys(carry_f, carry_i):
+    """Sort key per ray: [3b direction octant | 27b position Morton],
+    dead rays keyed to the end (so the kernel's all-dead tile skip
+    becomes free compaction)."""
+    R = carry_f.shape[1] * carry_f.shape[2]
+    flat = lambda p: carry_f[p].reshape(R)
+    ox, oy, oz = flat(0), flat(1), flat(2)
+    dx, dy, dz = flat(3), flat(4), flat(5)
+    active = carry_i[3].reshape(R) != 0
+    oct_ = (((dx < 0).astype(jnp.uint32) << 2)
+            | ((dy < 0).astype(jnp.uint32) << 1)
+            | (dz < 0).astype(jnp.uint32))
+
+    def q9(v):
+        lo, hi = jnp.min(v), jnp.max(v)
+        t = (v - lo) / jnp.maximum(hi - lo, 1e-20)
+        return jnp.clip(t * 511.0, 0.0, 511.0).astype(jnp.uint32)
+
+    morton = (_spread10(q9(ox)) | (_spread10(q9(oy)) << jnp.uint32(1))
+              | (_spread10(q9(oz)) << jnp.uint32(2)))
+    key = (oct_ << jnp.uint32(27)) | (morton & jnp.uint32(0x07FFFFFF))
+    return jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+
+
+def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
+                       spect_p, mesh_arrays):
+    """Per-bounce dispatch with inter-bounce ray sorting.
+
+    The megakernel's bounce loop keeps each ray tile fixed for the
+    whole path, so after one diffuse bounce the tile's frustum covers
+    the hemisphere and the chunk-BVH cull degenerates to a full scan
+    (measured ~600ms/bounce at 80K tris 256^2 on v5e). Here each bounce
+    is one kernel dispatch; between dispatches XLA re-sorts the ray
+    population by direction octant + origin Morton code, so tiles stay
+    spatially coherent at EVERY depth and dead rays compact to all-dead
+    tiles the kernel skips. Per-ray arithmetic (and the pcg4d stream)
+    is untouched — results are bit-identical to the in-kernel loop.
+
+    Returns (L (4, M, LANES), tape_idx (D+1, M, LANES), tape_sh
+    (D+1, n_lights, M, LANES)) — everything in ORIGINAL ray order, so
+    the guided replay (tracer/replay.py) is oblivious to the sorting.
+    """
+    m = rays.shape[1]
+    R = m * LANES
+    n_lights = max(1, len(static.light_rows))
+    zero = jnp.zeros((1, m, LANES), jnp.float32)
+    one = jnp.ones((1, m, LANES), jnp.float32)
+    carry_f = jnp.concatenate(
+        [rays, jnp.tile(zero, (4, 1, 1)), jnp.tile(one, (4, 1, 1)),
+         one, one], axis=0)
+    carry_u = seeds
+    carry_i = jnp.concatenate([
+        jnp.full((1, m, LANES), -1, jnp.int32),
+        jnp.zeros((2, m, LANES), jnp.int32),
+        jnp.ones((1, m, LANES), jnp.int32)], axis=0)
+    ridx = jnp.arange(R, dtype=jnp.int32)
+    tapes_idx, tapes_sh = [], []
+
+    def permute(arr, perm):
+        k = arr.shape[0]
+        return arr.reshape(k, R)[:, perm].reshape(k, m, LANES)
+
+    for depth in range(max_depth + 1):
+        if depth > 0 and m > 1:
+            perm = jnp.argsort(_wavefront_keys(carry_f, carry_i))
+            carry_f = permute(carry_f, perm)
+            carry_u = permute(carry_u, perm)
+            carry_i = permute(carry_i, perm)
+            spect_p = permute(spect_p, perm)
+            ridx = ridx[perm]
+        depth_arr = jnp.full((1, 1), depth, jnp.int32)
+        carry_f, carry_u, carry_i, tidx, tsh = step_fn(
+            depth_arr, prims_u, carry_f, carry_u, carry_i, spect_p,
+            *mesh_arrays)
+        tapes_idx.append(
+            jnp.zeros((R,), jnp.int32).at[ridx].set(tidx.reshape(R)))
+        tapes_sh.append(
+            jnp.zeros((n_lights, R), jnp.int32).at[:, ridx].set(
+                tsh.reshape(n_lights, R)))
+
+    L = carry_f[6:10].reshape(4, R)
+    L = jnp.zeros((4, R), jnp.float32).at[:, ridx].set(L)
+    tape_idx = jnp.stack(tapes_idx).reshape(-1, m, LANES)
+    tape_sh = jnp.stack(tapes_sh).reshape(-1, n_lights, m, LANES)
+    return L.reshape(4, m, LANES), tape_idx, tape_sh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _mesh_call_wf(step_fn, static, max_depth, rr_start,
+                  prims_full, rays, seeds, spect_p, cats, mesh_arrays):
+    """Wavefront mesh call; backward is the same guided replay."""
+    prims_u = prims_full[jnp.asarray(static.rows)]
+    out, _, _ = _wavefront_forward(step_fn, static, max_depth, prims_u,
+                                   rays, seeds, spect_p, mesh_arrays)
+    return out
+
+
+def _mesh_wf_fwd(step_fn, static, max_depth, rr_start,
+                 prims_full, rays, seeds, spect_p, cats, mesh_arrays):
+    prims_u = prims_full[jnp.asarray(static.rows)]
+    out, tape_idx, tape_sh = _wavefront_forward(
+        step_fn, static, max_depth, prims_u, rays, seeds, spect_p,
+        mesh_arrays)
+    return out, (prims_full, rays, seeds, spect_p, cats, mesh_arrays,
+                 tape_idx, tape_sh)
+
+
+def _mesh_wf_bwd(step_fn, static, max_depth, rr_start, res, g):
+    return _mesh_bwd(None, static, max_depth, rr_start, res, g)
+
+
+_mesh_call_wf.defvjp(_mesh_wf_fwd, _mesh_wf_bwd)
+
+
 def mesh_packs_for(scene, static: SceneStatic):
     """Chunk + BVH packing for every mesh part. The Morton order and
     tree structure need a concrete scene (data-dependent argsort); the
@@ -177,8 +307,16 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
         if mesh_packs is None:
             from computeraytracer_tpu.kernels import meshpack
             if mesh_plans is None:
-                mesh_plans = tuple(meshpack.plan_scene_mesh(scene, part)
-                                   for part in static.mesh_parts)
+                try:
+                    mesh_plans = tuple(
+                        meshpack.plan_scene_mesh(scene, part)
+                        for part in static.mesh_parts)
+                except jax.errors.TracerArrayConversionError as e:
+                    raise ValueError(
+                        "mesh scene with traced geometry: compute "
+                        "mesh_plans from the concrete initial scene "
+                        "(kernels/meshpack.plan_scene_mesh) outside "
+                        "jit/grad and pass them through") from e
             mesh_packs = tuple(
                 meshpack.pack_scene_mesh(scene, part, plan)
                 for part, plan in zip(static.mesh_parts, mesh_plans))
@@ -296,6 +434,38 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
     return run_cv(scene, sample_u)
 
 
+@functools.lru_cache(maxsize=32)
+def _block_order(width: int, height: int, tile_rays: int):
+    """Pixel coordinates in compact-block order, plus the inverse map.
+
+    The mesh BVH culls at RAY-TILE granularity: a box is entered when
+    ANY ray in the tile can hit it. Row-major tiles are full-width
+    strips whose frusta cross the whole scene; square-ish blocks of the
+    same ray count subtend a compact solid angle and skip most of the
+    tree. Returns (px, py, inv) with inv the permutation that restores
+    row-major film order, or None when the film doesn't tile evenly.
+    """
+    import numpy as np
+
+    bw = 1
+    while bw * bw < tile_rays:
+        bw *= 2
+    bh = tile_rays // bw  # bw >= bh, both powers of two
+    if width % bw or height % bh:
+        return None
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.uint32)
+    # (by, bx, iy, ix) block-major layout
+    ys = ys.reshape(height // bh, bh, width // bw, bw).swapaxes(1, 2)
+    xs = xs.reshape(height // bh, bh, width // bw, bw).swapaxes(1, 2)
+    px, py = xs.reshape(-1).copy(), ys.reshape(-1).copy()
+    flat = py.astype(np.int64) * width + px.astype(np.int64)
+    inv = np.empty(width * height, np.int32)
+    inv[flat] = np.arange(width * height, dtype=np.int32)
+    # numpy results only: jnp conversion happens at the call site so the
+    # cache never captures trace-scoped constants
+    return px, py, inv
+
+
 def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
@@ -305,11 +475,20 @@ def render_sample(scene, width: int, height: int, sample,
         static = SceneStatic.from_scene(scene)
     if static.mesh_parts and mesh_packs is None and mesh_plans is None:
         mesh_packs = mesh_packs_for(scene, static)
-    px, py = xla_tracer.tile_coords(width, height, 0)
+    order = None
+    if static.mesh_parts:
+        tm = tile_m if tile_m is not None else mk.MESH_TILE_M
+        order = _block_order(width, height, tm * LANES)
+    if order is None:
+        px, py = xla_tracer.tile_coords(width, height, 0)
+    else:
+        px, py, inv = (jnp.asarray(a) for a in order)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
                         rr_start, static=static, backward=backward,
                         mesh_packs=mesh_packs, tile_m=tile_m,
                         mesh_plans=mesh_plans)
+    if order is not None:
+        xyz = jnp.take(xyz, inv, axis=0)
     return xyz.reshape(height, width, 3)
 
 

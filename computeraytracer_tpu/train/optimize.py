@@ -140,6 +140,22 @@ def make_train_step(static_scene, optimizer, width, height, spp, max_depth,
     return step
 
 
+def optimize_config(scene, target, width, height, cfg,
+                    trainable=("spectra",), mesh=None, kernel="xla",
+                    callback=None):
+    """Run `optimize` from a config.TrainConfig (the typed flag surface
+    the CLI and scripts share; cfg.render supplies spp/max_depth/
+    rr_start)."""
+    return optimize(
+        scene, target, width, height, trainable=trainable,
+        steps=cfg.steps, learning_rate=cfg.learning_rate,
+        spp=cfg.spp_per_step, max_depth=cfg.render.max_depth,
+        rr_start=cfg.render.rr_start, mesh=mesh,
+        checkpoint_dir=cfg.checkpoint_dir,
+        checkpoint_every=cfg.checkpoint_every, callback=callback,
+        kernel=kernel)
+
+
 def optimize(scene, target, width, height, *, trainable=("spectra",),
              steps=50, learning_rate=0.05, spp=4, max_depth=4,
              rr_start: int = 1, mesh=None, checkpoint_dir: Optional[str] = None,

@@ -124,3 +124,58 @@ def roofline(width: int, height: int, spp: int, max_depth: int,
         sol_compute_s=sol_c, sol_memory_s=sol_m, sol_s=sol,
         bound="compute" if sol_c >= sol_m else "memory",
     )
+
+
+def detect_chip() -> str:
+    """Map jax device_kind to a CHIP_PEAKS key (default v5e)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key in ("v6e", "v5p", "v5e", "v4"):
+        if key in kind:
+            return key
+    if "v5 lite" in kind or "v5litepod" in kind:
+        return "v5e"
+    return "v5e"
+
+
+def measure_mean_depth(scene, width: int = 256, height: int = 256,
+                       sample: int = 1, max_depth: int = 8,
+                       rr_start: int = 1) -> float:
+    """Expected bounce-loop trips per path, measured empirically.
+
+    Runs the XLA tracer bounce-by-bounce and sums the live-lane fraction
+    entering each trip — the `mean_depth` the roofline model needs to
+    convert a measured wall time into a speed-of-light fraction (Russian
+    roulette makes the effective depth much smaller than max_depth).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from computeraytracer_tpu.ops import camera as cam_ops
+    from computeraytracer_tpu.ops import rng
+    from computeraytracer_tpu.ops import spectrum as spec
+    from computeraytracer_tpu.scene import data as scene_data
+    from computeraytracer_tpu.tracer import xla as xt
+
+    scene = scene_data.as_jax(scene)
+    px, py = xt.tile_coords(width, height, 0)
+    sample_u = jnp.asarray(sample, jnp.uint32)
+
+    @jax.jit
+    def alive_fractions(scene):
+        seed = rng.seed_pixel(px, py, sample_u)
+        o, d, seed = cam_ops.camera_rays(
+            scene.camera.eye, scene.camera.lookat, scene.camera.up,
+            scene.camera.fov, width, height, px, py, sample_u, seed)
+        lambdas, seed = spec.sample_wavelengths(seed)
+        state = xt.init_state(o, d, seed)
+        isect_fn = xt.make_intersector(scene)
+        fracs = []
+        for depth in range(max_depth + 1):
+            fracs.append(jnp.mean(state.active.astype(jnp.float32)))
+            state = xt.trace_step(scene, lambdas, state, depth,
+                                  max_depth, rr_start, isect_fn)
+        return jnp.stack(fracs)
+
+    return float(jnp.sum(alive_fractions(scene)))

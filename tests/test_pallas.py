@@ -74,9 +74,15 @@ def test_mesh_scene_gradients_via_replay():
     from computeraytracer_tpu.kernels.megakernel import SceneStatic
     from computeraytracer_tpu.scene import presets, scene_from_dict
 
+    from computeraytracer_tpu.kernels import meshpack
+
     scene, _ = scene_from_dict(presets.mesh_scene(8, 8, subdivisions=1))
     static = SceneStatic.from_scene(scene, mesh_min=16)
     assert static.mesh_parts
+    # geometry is traced under grad: the Morton plan must come from the
+    # concrete initial scene (tracer/pallas.py docstring contract)
+    plans = tuple(meshpack.plan_scene_mesh(scene, part)
+                  for part in static.mesh_parts)
 
     def loss(tracer, d1, spectra, **kw):
         s = scene._replace(
@@ -87,7 +93,8 @@ def test_mesh_scene_gradients_via_replay():
 
     d1 = jnp.asarray(scene.primitives.data1)
     sp = jnp.asarray(scene.spectra)
-    g_pal = jax.grad(lambda a, b: loss(pallas_tracer, a, b, static=static),
+    g_pal = jax.grad(lambda a, b: loss(pallas_tracer, a, b, static=static,
+                                       mesh_plans=plans),
                      argnums=(0, 1))(d1, sp)
     g_xla = jax.grad(lambda a, b: loss(xla_tracer, a, b),
                      argnums=(0, 1))(d1, sp)
