@@ -52,8 +52,8 @@ class BVHArrays(NamedTuple):
 def primitive_bounds(category, data1, data2, data3):
     """Per-primitive AABBs for the tagged SoA layout (scene/data.py).
 
-    patch/triangle: hull of {p0, p0+e1, p0+e2(, p0+e1+e2 for patches)};
-    sphere: center +- radius.
+    patch: hull of {origin, +e1, +e2, +e1+e2}; triangle: hull of its
+    three vertices {v0, v1, v2}; sphere: center +- radius.
     """
     category = np.asarray(category)
     d1 = np.asarray(data1, np.float32)
@@ -62,8 +62,9 @@ def primitive_bounds(category, data1, data2, data3):
     corners = np.stack([d1, d1 + d2, d1 + d3, d1 + d2 + d3], axis=1)
     lo = corners.min(axis=1)
     hi = corners.max(axis=1)
-    # triangles: the e1+e2 corner is outside the triangle but inside a
-    # valid (conservative) bound; keep it — tightness barely matters here
+    is_tri = (category == 2)[:, None]
+    lo = np.where(is_tri, np.minimum(np.minimum(d1, d2), d3), lo)
+    hi = np.where(is_tri, np.maximum(np.maximum(d1, d2), d3), hi)
     is_sphere = category == 1
     r = d2[:, 0:1]
     lo = np.where(is_sphere[:, None], d1 - r, lo)

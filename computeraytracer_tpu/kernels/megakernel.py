@@ -231,6 +231,8 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
     the accessor tuple consumed by _scan_mesh_part.
     Returns dict of (T,128) planes: hit, t, idx, pos, nrm.
     """
+    from computeraytracer_tpu.ops import intersect as isect
+
     inf = jnp.full(shape, jnp.inf, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
     state = {
@@ -240,13 +242,24 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
         "nrm": (zero, zero, zero),
     }
     d_dot_d = _vdot(d, d)
+    # watertight-triangle shear constants: per-ray, hoisted out of the
+    # primitive loop (ops/intersect.py is the single source of these
+    # ops so XLA/Pallas/replay decisions agree bit-for-bit)
+    wt = (isect.watertight_setup(o, d)
+          if any(c == 2 for c in static.categories) else None)
 
     for slot, (i, cat) in enumerate(zip(static.rows, static.categories)):
         not_excluded = exclude != i
         if cat in (0, 2):  # planar patch / triangle share the plane test
             p0 = (getp(slot, 0), getp(slot, 1), getp(slot, 2))
-            e1 = (getp(slot, 3), getp(slot, 4), getp(slot, 5))
-            e2 = (getp(slot, 6), getp(slot, 7), getp(slot, 8))
+            if cat == 2:  # triangles store vertices (scene/data.py)
+                v1 = (getp(slot, 3), getp(slot, 4), getp(slot, 5))
+                v2 = (getp(slot, 6), getp(slot, 7), getp(slot, 8))
+                e1 = _vsub(v1, p0)
+                e2 = _vsub(v2, p0)
+            else:
+                e1 = (getp(slot, 3), getp(slot, 4), getp(slot, 5))
+                e2 = (getp(slot, 6), getp(slot, 7), getp(slot, 8))
             n_raw = _scalar_cross(e1, e2)
             n_len2 = n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1] + \
                 n_raw[2] * n_raw[2]
@@ -271,17 +284,8 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
                 u = _vdot(m, e1) * inv_e1
                 v = _vdot(m, e2) * inv_e2
                 inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
-            else:  # triangle: Moller-Trumbore u, v (scalar e1/e2 broadcast)
-                pvec = _vcross(d, e2)
-                det = _vdot(e1, pvec)
-                degenerate = jnp.abs(det) < 1e-9
-                inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
-                tvec = _vsub(o, p0)
-                u = _vdot(tvec, pvec) * inv_det
-                qvec = _vcross(tvec, e1)
-                v = _vdot(d, qvec) * inv_det
-                inside = (~degenerate) & (u >= 0.0) & (v >= 0.0) & \
-                    (u + v <= 1.0)
+            else:  # triangle: watertight edge-function inside test
+                inside = isect.watertight_inside(wt, p0, v1, v2)
             valid = (not_excluded & ~grazing & inside
                      & (t >= T_MIN) & (t <= state["t"]))
             sgn = jnp.where(flip, -1.0, 1.0)
@@ -335,8 +339,11 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
     Morton order shuffles only within the part).
     """
     from computeraytracer_tpu.kernels import meshpack
+    from computeraytracer_tpu.ops import intersect as isect
 
     tri_read, cbox_read, nbox_read, nmeta_read, n_nodes = reads
+    # per-ray watertight shear constants, fixed for the whole traversal
+    wt = isect.watertight_setup(o, d)
 
     # slab test needs 1/d with the sign preserved for axis-parallel rays
     inv_d = []
@@ -372,10 +379,12 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
                 for j in range(meshpack.TRIS_PER_ROW):
                     b = meshpack.LANES_PER_TRI * j
                     p0 = (rowv[0, b + 0], rowv[0, b + 1], rowv[0, b + 2])
-                    e1 = (rowv[0, b + 3], rowv[0, b + 4], rowv[0, b + 5])
-                    e2 = (rowv[0, b + 6], rowv[0, b + 7], rowv[0, b + 8])
+                    v1 = (rowv[0, b + 3], rowv[0, b + 4], rowv[0, b + 5])
+                    v2 = (rowv[0, b + 6], rowv[0, b + 7], rowv[0, b + 8])
                     tid = rowv[0, b + 9].astype(jnp.int32)
                     # mirror the unrolled triangle branch exactly
+                    e1 = _vsub(v1, p0)
+                    e2 = _vsub(v2, p0)
                     n_raw = _scalar_cross(e1, e2)
                     n_len2 = (n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1]
                               + n_raw[2] * n_raw[2])
@@ -389,16 +398,7 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
                     num = (n0[0] * (p0[0] - o[0]) + n0[1] * (p0[1] - o[1])
                            + n0[2] * (p0[2] - o[2]))
                     t = num / jnp.where(grazing, 1.0, ndotd)
-                    pvec = _vcross(d, e2)
-                    det = _vdot(e1, pvec)
-                    degenerate = jnp.abs(det) < 1e-9
-                    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
-                    tvec = _vsub(o, p0)
-                    u = _vdot(tvec, pvec) * inv_det
-                    qvec = _vcross(tvec, e1)
-                    v = _vdot(d, qvec) * inv_det
-                    inside = (~degenerate) & (u >= 0.0) & (v >= 0.0) & \
-                        (u + v <= 1.0)
+                    inside = isect.watertight_inside(wt, p0, v1, v2)
                     valid = ((exclude != tid) & (tid >= 0) & ~grazing
                              & inside & (t >= T_MIN)
                              & ((t < t_best)

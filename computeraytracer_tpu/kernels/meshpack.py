@@ -29,14 +29,16 @@ scan.
 
 Packed layout (VMEM-friendly: lanes fully used):
   tri_rows  (n_rows, 128) f32 — each row holds 8 triangles x 16 lanes:
-            [p0.xyz, e1.xyz, e2.xyz, prim_id, 6 pad]; 16 rows = 1 chunk.
+            [v0.xyz, v1.xyz, v2.xyz, prim_id, 6 pad]; 16 rows = 1 chunk.
+            Vertices (not edges): the watertight triangle test needs
+            shared-edge endpoints bitwise identical across triangles.
   chunk_bbox (n_chunks_padded, 8) f32 — [lo.xyz, hi.xyz, pad, pad].
   node_bbox  (n_nodes, 8) f32 — DFS order, [lo.xyz, hi.xyz, pad, pad].
   node_meta  (n_nodes, 8) i32 — DFS order, [skip, chunk_start, is_leaf,
              5 pad]. Leaves cover chunks [chunk_start,
              chunk_start + LEAF_CHUNKS).
-Padding triangles have id = -1 and zero geometry (Moller-Trumbore
-rejects them by det == 0; id -1 never matches). Fully-empty padded
+Padding triangles have id = -1 and zero geometry (the degenerate
+normal makes the plane test grazing-reject them; id -1 never matches). Fully-empty padded
 chunks/nodes get a degenerate far-away box (lo == hi == BIG) that every
 slab test misses without NaNs.
 """
@@ -134,14 +136,14 @@ def _dfs_structure(n_groups: int) -> tuple[np.ndarray, np.ndarray]:
     return perm, meta
 
 
-def make_plan(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> MeshPlan:
+def make_plan(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> MeshPlan:
     """Morton-sort triangle centroids and lay out the chunk BVH."""
-    p0 = np.asarray(p0, np.float32)
-    e1 = np.asarray(e1, np.float32)
-    e2 = np.asarray(e2, np.float32)
-    n = p0.shape[0]
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    n = v0.shape[0]
 
-    cent = p0 + (e1 + e2) / 3.0
+    cent = (v0 + v1 + v2) / 3.0
     lo, hi = cent.min(0), cent.max(0)
     ext = np.maximum(hi - lo, 1e-12)
     q = np.minimum(((cent - lo) / ext) * 1023.0, 1023.0).astype(np.uint32)
@@ -157,7 +159,7 @@ def make_plan(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> MeshPlan:
                     n_groups=n_groups, perm=perm, meta=meta)
 
 
-def pack_from_plan(plan: MeshPlan, p0, e1, e2, prim_ids) -> MeshPack:
+def pack_from_plan(plan: MeshPlan, v0, v1, v2, prim_ids) -> MeshPack:
     """Pack live geometry under a fixed plan. Pure jnp: runs inside jit,
     so training steps that move vertices re-derive valid boxes for free.
     Gradients do not flow through the pack (the kernel treats geometry
@@ -171,7 +173,7 @@ def pack_from_plan(plan: MeshPlan, p0, e1, e2, prim_ids) -> MeshPack:
         a = jnp.asarray(a, jnp.float32)[order]
         return jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(a)
 
-    p0s, e1s, e2s = padded(p0), padded(e1), padded(e2)
+    v0s, v1s, v2s = padded(v0), padded(v1), padded(v2)
     ids = jnp.full((n_pad,), -1.0, jnp.float32).at[:n].set(
         jnp.asarray(prim_ids)[order].astype(jnp.float32))
 
@@ -182,16 +184,16 @@ def pack_from_plan(plan: MeshPlan, p0, e1, e2, prim_ids) -> MeshPack:
     n_real_chunks = max(1, -(-n // TRIS_PER_CHUNK))
     n_real = n_real_chunks * TRIS_PER_CHUNK
     comp = jnp.zeros((n_real, LANES_PER_TRI), jnp.float32)
-    comp = comp.at[:, 0:3].set(p0s[:n_real])
-    comp = comp.at[:, 3:6].set(e1s[:n_real])
-    comp = comp.at[:, 6:9].set(e2s[:n_real])
+    comp = comp.at[:, 0:3].set(v0s[:n_real])
+    comp = comp.at[:, 3:6].set(v1s[:n_real])
+    comp = comp.at[:, 6:9].set(v2s[:n_real])
     comp = comp.at[:, 9].set(ids[:n_real])
     tri_rows = comp.reshape(n_real // TRIS_PER_ROW,
                             TRIS_PER_ROW * LANES_PER_TRI)
 
     # triangle AABBs -> chunk AABBs; padding tris excluded via +-inf,
     # fully-empty chunks collapsed to the degenerate far box
-    corners = jnp.stack([p0s, p0s + e1s, p0s + e2s], axis=1)
+    corners = jnp.stack([v0s, v1s, v2s], axis=1)
     valid = (ids >= 0)[:, None]
     t_lo = jnp.where(valid, corners.min(1), jnp.inf)
     t_hi = jnp.where(valid, corners.max(1), -jnp.inf)
@@ -223,10 +225,10 @@ def pack_from_plan(plan: MeshPlan, p0, e1, e2, prim_ids) -> MeshPack:
                     node_bbox=node_bbox, node_meta=node_meta)
 
 
-def pack_mesh(p0, e1, e2, prim_ids) -> MeshPack:
+def pack_mesh(v0, v1, v2, prim_ids) -> MeshPack:
     """One-shot pack (plan + pack) for concrete geometry."""
-    plan = make_plan(np.asarray(p0), np.asarray(e1), np.asarray(e2))
-    return pack_from_plan(plan, p0, e1, e2, prim_ids)
+    plan = make_plan(np.asarray(v0), np.asarray(v1), np.asarray(v2))
+    return pack_from_plan(plan, v0, v1, v2, prim_ids)
 
 
 def plan_scene_mesh(scene, part) -> MeshPlan:

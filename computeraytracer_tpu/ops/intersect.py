@@ -9,7 +9,15 @@ Semantics follow the reference's tagged-dispatch intersector
 - sphere (category 1): quadratic with near-then-far root selection
   (wgsl:584-631);
 - triangle (category 2): NEW (the reference has no mesh support) —
-  Moller-Trumbore with the same normal-flipped-toward-ray convention.
+  watertight Woop-style shear-constant edge-function test (Woop,
+  Benthin & Wald 2013, "Watertight Ray/Triangle Intersection") with
+  the same normal-flipped-toward-ray convention. Triangles store
+  VERTICES (v0, v1, v2), not (v0, e1, e2): watertightness along a
+  shared edge requires both triangles to test the bitwise-identical
+  endpoint coordinates, which edge-vector storage cannot reconstruct
+  (v0 + fl(v1 - v0) != v1 in f32). t comes from the shared plane
+  test — identical op order to the Pallas megakernel and the taped
+  replay, so all paths agree bit-for-bit.
 
 Self-hit avoidance is via an excluded primitive index, not epsilon alone
 (wgsl:527-532), with t_min=0.001 (wgsl:720). Closest hit uses
@@ -115,18 +123,109 @@ def sphere_candidates(o, d, center, radius, t_min, t_max):
     return t, valid
 
 
-def triangle_candidates(o, d, v0, e1, e2):
-    """Moller-Trumbore; returns (t, valid). v1 = v0+e1, v2 = v0+e2."""
-    pvec = jnp.cross(d, e2)
-    det = _dot(e1, pvec)
-    degenerate = jnp.abs(det) < 1e-9
-    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
-    tvec = o - v0
-    u = _dot(tvec, pvec) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = _dot(d, qvec) * inv_det
-    t = _dot(e2, qvec) * inv_det
-    valid = (~degenerate) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+def _sel3(k, v):
+    """Select component k (int array) from a 3-tuple of arrays."""
+    return jnp.where(k == 0, v[0], jnp.where(k == 1, v[1], v[2]))
+
+
+def watertight_setup(o3, d3):
+    """Per-ray constants for the watertight triangle test.
+
+    o3/d3: 3-tuples of broadcastable arrays (component-planes form, so
+    the SAME traced ops serve both the XLA scan and the Pallas
+    megakernel — bit parity by construction). kz is the ray direction's
+    max-|component| axis; kx/ky the cyclic others (no winding swap: the
+    both-signs edge test below is orientation-free). Sx/Sy shear the
+    triangle into ray space (Woop et al. 2013, listing 1).
+    """
+    ax, ay, az = jnp.abs(d3[0]), jnp.abs(d3[1]), jnp.abs(d3[2])
+    kz = jnp.where((ax >= ay) & (ax >= az), 0,
+                   jnp.where(ay >= az, 1, 2)).astype(jnp.int32)
+    kx = jnp.where(kz == 2, 0, kz + 1)
+    ky = jnp.where(kx == 2, 0, kx + 1)
+    dkz = _sel3(kz, d3)
+    safe = jnp.where(dkz == 0.0, 1.0, dkz)  # dkz==0 only for null rays
+    sx = _sel3(kx, d3) / safe
+    sy = _sel3(ky, d3) / safe
+    okx, oky, okz = _sel3(kx, o3), _sel3(ky, o3), _sel3(kz, o3)
+    return (kx, ky, kz, sx, sy, okx, oky, okz)
+
+
+def watertight_inside(setup, v0, v1, v2):
+    """Watertight 2D edge-function inside test; True if the sheared ray
+    passes through triangle (v0, v1, v2) (3-tuples of arrays).
+
+    Shared edges evaluate the identical f32 edge function (same two
+    vertices, same ray) with opposite orientation in the two adjacent
+    triangles, so with the both-signs acceptance one of them always
+    passes: no cracks. The f64 fallback of the paper (for edge
+    functions that round to exactly 0) is unnecessary here — an exact
+    0 is accepted by BOTH triangles, which double-hits instead of
+    cracking, and last-wins tie-breaking picks one.
+    """
+    kx, ky, kz, sx, sy, okx, oky, okz = setup
+
+    def shear2(v):
+        pkx = _sel3(kx, v) - okx
+        pky = _sel3(ky, v) - oky
+        pkz = _sel3(kz, v) - okz
+        return pkx - sx * pkz, pky - sy * pkz
+
+    ax_, ay_ = shear2(v0)
+    bx_, by_ = shear2(v1)
+    cx_, cy_ = shear2(v2)
+    # Each edge function MUST be a difference of two individually f32-
+    # ROUNDED products: XLA fuses `a*b - c*d` into fma(a, b, -(c*d)),
+    # whose single-rounded first product breaks the exact-negation
+    # symmetry between adjacent triangles' shared-edge functions — the
+    # whole watertight argument. optimization_barrier pins the rounding
+    # (it costs nothing at runtime; it only blocks the fusion).
+    def edge_fn(px, py, qx, qy):
+        p1 = jax.lax.optimization_barrier(px * qy)
+        p2 = jax.lax.optimization_barrier(py * qx)
+        return p1 - p2
+
+    u = edge_fn(cx_, cy_, bx_, by_)
+    v = edge_fn(ax_, ay_, cx_, cy_)
+    w = edge_fn(bx_, by_, ax_, ay_)
+    pos = (u >= 0.0) & (v >= 0.0) & (w >= 0.0)
+    neg = (u <= 0.0) & (v <= 0.0) & (w <= 0.0)
+    det = u + v + w
+    return (pos | neg) & (det != 0.0)
+
+
+def _comps(a):
+    return (a[..., 0], a[..., 1], a[..., 2])
+
+
+def triangle_candidates(o, d, v0, v1, v2):
+    """Watertight ray/triangle test; returns (t, valid).
+
+    v0/v1/v2 are VERTICES (scene/data.py cat-2 convention). t is the
+    plane-test value in the exact op order of the Pallas megakernel's
+    shared patch/triangle branch (kernels/megakernel.py
+    _scan_primitives), so XLA, Pallas and the taped replay agree
+    bit-for-bit; validity is the Woop watertight edge test.
+    """
+    o3, d3 = _comps(o), _comps(d)
+    v03, v13, v23 = _comps(v0), _comps(v1), _comps(v2)
+    e1 = tuple(v13[i] - v03[i] for i in range(3))
+    e2 = tuple(v23[i] - v03[i] for i in range(3))
+    n_raw = (e1[1] * e2[2] - e1[2] * e2[1],
+             e1[2] * e2[0] - e1[0] * e2[2],
+             e1[0] * e2[1] - e1[1] * e2[0])
+    n_len2 = n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1] + n_raw[2] * n_raw[2]
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(n_len2, 1e-30))
+    n0 = (n_raw[0] * inv_len, n_raw[1] * inv_len, n_raw[2] * inv_len)
+    ndotd = n0[0] * d3[0] + n0[1] * d3[1] + n0[2] * d3[2]
+    flip = ndotd > 0.0
+    ndotd_f = jnp.where(flip, -ndotd, ndotd)
+    grazing = jnp.abs(ndotd_f) < 1e-4
+    num = (n0[0] * (v03[0] - o3[0]) + n0[1] * (v03[1] - o3[1])
+           + n0[2] * (v03[2] - o3[2]))
+    t = num / jnp.where(grazing, 1.0, ndotd)
+    inside = watertight_inside(watertight_setup(o3, d3), v03, v13, v23)
+    valid = (~grazing) & inside
     return t, valid
 
 
@@ -159,7 +258,11 @@ def shading_normal(prims, idx, o, d, position):
     d1 = prims.data1[idx]
     d2 = prims.data2[idx]
     d3 = prims.data3[idx]
-    n_flat = jnp.cross(d2, d3)  # patches and triangles
+    # patches store edges in data2/3; triangles store vertices
+    is_tri = (cat == CAT_TRIANGLE)[..., None]
+    e1 = jnp.where(is_tri, d2 - d1, d2)
+    e2 = jnp.where(is_tri, d3 - d1, d3)
+    n_flat = jnp.cross(e1, e2)  # patches and triangles
     n_sph = position - d1
     n = safe_normalize(jnp.where((cat == CAT_SPHERE)[..., None], n_sph, n_flat))
     # Patches/triangles flip toward the ray; spheres use the outward

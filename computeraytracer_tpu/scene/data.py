@@ -8,7 +8,12 @@ structs, primitives live as structure-of-arrays so intersection runs as
 Layout convention (mirrors the tagged Primitive struct, main.js:211-246):
 - category 0 (patch):    data1=origin, data2=edge1, data3=edge2
 - category 1 (sphere):   data1=center, data2=(r, r, r), data3 unused
-- category 2 (triangle): data1=v0, data2=v1-v0, data3=v2-v0   [extension]
+- category 2 (triangle): data1=v0, data2=v1, data3=v2   [extension]
+
+Triangles store VERTICES (not edge vectors like patches): the
+watertight intersection test (ops/intersect.py) needs shared-edge
+endpoints to be bitwise identical across adjacent triangles, which
+v0 + fl(v1 - v0) reconstruction cannot guarantee in f32.
 """
 
 from __future__ import annotations
@@ -103,11 +108,10 @@ def build_primitives(patches, spheres, triangles=None,
         d1.append(s["center"]); d2.append([r, r, r]); d3.append([0.0, 0.0, 0.0])
         emi.append(s["emission"]); ref.append(s["reflectance"]); mat.append(s["material"])
     for t in (triangles or []):
-        v0 = np.asarray(t["v0"], np.float32)
         cats.append(2)
-        d1.append(v0)
-        d2.append(np.asarray(t["v1"], np.float32) - v0)
-        d3.append(np.asarray(t["v2"], np.float32) - v0)
+        d1.append(np.asarray(t["v0"], np.float32))
+        d2.append(np.asarray(t["v1"], np.float32))
+        d3.append(np.asarray(t["v2"], np.float32))
         emi.append(t["emission"]); ref.append(t["reflectance"]); mat.append(t["material"])
     cols = dict(
         category=np.asarray(cats, np.int32).reshape(-1),

@@ -105,13 +105,12 @@ def mesh_arrays(verts, faces, reflectance: int, emission: int,
     returns SoA columns (category, d1, d2, d3, emi, ref, mat)."""
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces)
-    v0 = verts[faces[:, 0]]
     n = len(faces)
     return dict(
         category=np.full(n, 2, np.int32),
-        data1=v0,
-        data2=verts[faces[:, 1]] - v0,
-        data3=verts[faces[:, 2]] - v0,
+        data1=verts[faces[:, 0]],
+        data2=verts[faces[:, 1]],
+        data3=verts[faces[:, 2]],
         emission=np.full(n, emission, np.int32),
         reflectance=np.full(n, reflectance, np.int32),
         material=np.full(n, material, np.int32),

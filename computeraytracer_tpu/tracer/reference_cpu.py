@@ -69,6 +69,40 @@ def _norm(v):
     return v / F(np.linalg.norm(v))
 
 
+def _watertight_inside(o, d, v0, v1, v2):
+    """Scalar twin of ops.intersect.watertight_inside (same op order)."""
+    ax, ay, az = abs(F(d[0])), abs(F(d[1])), abs(F(d[2]))
+    if ax >= ay and ax >= az:
+        kz = 0
+    elif ay >= az:
+        kz = 1
+    else:
+        kz = 2
+    kx = 0 if kz == 2 else kz + 1
+    ky = 0 if kx == 2 else kx + 1
+    dkz = F(d[kz])
+    safe = F(1.0) if dkz == 0.0 else dkz
+    sx = F(d[kx]) / safe
+    sy = F(d[ky]) / safe
+
+    def shear2(v):
+        pkx = F(v[kx]) - F(o[kx])
+        pky = F(v[ky]) - F(o[ky])
+        pkz = F(v[kz]) - F(o[kz])
+        return pkx - sx * pkz, pky - sy * pkz
+
+    ax_, ay_ = shear2(v0)
+    bx_, by_ = shear2(v1)
+    cx_, cy_ = shear2(v2)
+    u = cx_ * by_ - cy_ * bx_
+    v = ax_ * cy_ - ay_ * cx_
+    w = bx_ * ay_ - by_ * ax_
+    pos = u >= 0 and v >= 0 and w >= 0
+    neg = u <= 0 and v <= 0 and w <= 0
+    det = u + v + w
+    return (pos or neg) and det != 0.0
+
+
 class OracleScene:
     """NumPy copy of a Scene pytree for scalar access."""
 
@@ -112,42 +146,33 @@ def intersect(sc: OracleScene, o, d, exclude: int) -> _Hit:
         if i == exclude:
             continue
         cat = sc.category[i]
-        if cat == 0 or cat == 2:  # patch / triangle
-            e1, e2 = sc.data2[i], sc.data3[i]
+        if cat == 0 or cat == 2:  # patch / triangle share the plane test
+            if cat == 2:  # triangles store vertices (scene/data.py)
+                e1 = sc.data2[i] - sc.data1[i]
+                e2 = sc.data3[i] - sc.data1[i]
+            else:
+                e1, e2 = sc.data2[i], sc.data3[i]
+            n = _norm(np.cross(e1, e2).astype(F))
+            ndotd = F(np.dot(n, d))
+            if ndotd > 0:
+                n = -n
+                ndotd = -ndotd
+            if abs(ndotd) < 1e-4:
+                continue
+            t = F(np.dot(n, sc.data1[i] - o)) / ndotd
+            if t < t_min or t > t_max:
+                continue
+            p = o + t * d
             if cat == 0:
-                n = _norm(np.cross(e1, e2).astype(F))
-                ndotd = F(np.dot(n, d))
-                if ndotd > 0:
-                    n = -n
-                    ndotd = -ndotd
-                if abs(ndotd) < 1e-4:
-                    continue
-                t = F(np.dot(n, sc.data1[i] - o)) / ndotd
-                if t < t_min or t > t_max:
-                    continue
-                p = o + t * d
                 m = p - sc.data1[i]
                 u = F(np.dot(m, e1)) / F(np.dot(e1, e1))
                 v = F(np.dot(m, e2)) / F(np.dot(e2, e2))
                 if u < 0 or u > 1 or v < 0 or v > 1:
                     continue
-            else:  # Moller-Trumbore
-                pvec = np.cross(d, e2).astype(F)
-                det = F(np.dot(e1, pvec))
-                if abs(det) < 1e-9:
+            else:  # watertight edge-function test (ops/intersect.py)
+                if not _watertight_inside(o, d, sc.data1[i], sc.data2[i],
+                                          sc.data3[i]):
                     continue
-                inv = F(1.0) / det
-                tvec = o - sc.data1[i]
-                u = F(np.dot(tvec, pvec)) * inv
-                qvec = np.cross(tvec, e1).astype(F)
-                v = F(np.dot(d, qvec)) * inv
-                t = F(np.dot(e2, qvec)) * inv
-                if u < 0 or v < 0 or u + v > 1 or t < t_min or t > t_max:
-                    continue
-                p = o + t * d
-                n = _norm(np.cross(e1, e2).astype(F))
-                if np.dot(n, d) > 0:
-                    n = -n
         else:  # sphere (cat == 1)
             center, radius = sc.data1[i], sc.data2[i][0]
             co = o - center

@@ -58,8 +58,14 @@ def hit_from_index(prims_full, cats, idx, o, d):
     cat = jnp.take(cats, flat).reshape(shape)        # (T, L)
     p = lambda c: rows[:, c].reshape(shape)
     p0 = (p(0), p(1), p(2))
-    e1 = (p(3), p(4), p(5))
-    e2 = (p(6), p(7), p(8))
+    # patches store edges at cols 3..8; triangles store vertices
+    # (scene/data.py) — subtract in the same f32 op order as the
+    # megakernel's cat-2 branch so t/normal replay bit-exactly
+    is_tri = cat == 2
+    e1 = tuple(jnp.where(is_tri, p(3 + i) - p(i), p(3 + i))
+               for i in range(3))
+    e2 = tuple(jnp.where(is_tri, p(6 + i) - p(i), p(6 + i))
+               for i in range(3))
 
     # --- plane-family winner (patch cat 0 / triangle cat 2): identical
     # to the plane test in _scan_primitives (uv bounds not needed)

@@ -16,10 +16,7 @@ from computeraytracer_tpu.scene import mesh as mesh_ops
 
 def _ico(sub=2):
     v, f = mesh_ops.icosphere(sub)
-    p0 = v[f[:, 0]]
-    e1 = v[f[:, 1]] - p0
-    e2 = v[f[:, 2]] - p0
-    return p0, e1, e2
+    return v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
 
 
 def test_dfs_structure_partitions():
@@ -42,10 +39,10 @@ def test_dfs_structure_partitions():
 
 
 def test_node_boxes_bound_chunks():
-    p0, e1, e2 = _ico(3)
-    plan = meshpack.make_plan(p0, e1, e2)
-    pack = meshpack.pack_from_plan(plan, p0, e1, e2,
-                                   np.arange(p0.shape[0]))
+    v0, v1, v2 = _ico(3)
+    plan = meshpack.make_plan(v0, v1, v2)
+    pack = meshpack.pack_from_plan(plan, v0, v1, v2,
+                                   np.arange(v0.shape[0]))
     cbox = np.asarray(pack.chunk_bbox)
     nbox = np.asarray(pack.node_bbox)
     meta = np.asarray(pack.node_meta)
@@ -63,10 +60,10 @@ def test_node_boxes_bound_chunks():
 
 
 def test_chunk_boxes_bound_triangles():
-    p0, e1, e2 = _ico(2)
-    n = p0.shape[0]
-    plan = meshpack.make_plan(p0, e1, e2)
-    pack = meshpack.pack_from_plan(plan, p0, e1, e2, np.arange(n))
+    v0, v1, v2 = _ico(2)
+    n = v0.shape[0]
+    plan = meshpack.make_plan(v0, v1, v2)
+    pack = meshpack.pack_from_plan(plan, v0, v1, v2, np.arange(n))
     rows = np.asarray(pack.tri_rows).reshape(-1, meshpack.LANES_PER_TRI)
     cbox = np.asarray(pack.chunk_bbox)
     ids = rows[:, 9]
@@ -74,8 +71,7 @@ def test_chunk_boxes_bound_triangles():
         if ids[t] < 0:
             continue
         k = t // meshpack.TRIS_PER_CHUNK
-        v0 = rows[t, 0:3]
-        corners = np.stack([v0, v0 + rows[t, 3:6], v0 + rows[t, 6:9]])
+        corners = np.stack([rows[t, 0:3], rows[t, 3:6], rows[t, 6:9]])
         assert (cbox[k, 0:3] <= corners.min(0) + 1e-5).all()
         assert (cbox[k, 3:6] >= corners.max(0) - 1e-5).all()
     # all real triangle ids present exactly once
@@ -85,29 +81,31 @@ def test_chunk_boxes_bound_triangles():
 
 def test_pack_from_plan_traced_geometry():
     """Training moves vertices inside jit; the repack must trace."""
-    p0, e1, e2 = _ico(1)
-    plan = meshpack.make_plan(p0, e1, e2)
-    ids = np.arange(p0.shape[0])
+    v0, v1, v2 = _ico(1)
+    plan = meshpack.make_plan(v0, v1, v2)
+    ids = np.arange(v0.shape[0])
 
     @jax.jit
-    def repack(p0j):
-        pack = meshpack.pack_from_plan(plan, p0j, e1, e2, ids)
+    def repack(shift):
+        pack = meshpack.pack_from_plan(plan, jnp.asarray(v0) + shift,
+                                       jnp.asarray(v1) + shift,
+                                       jnp.asarray(v2) + shift, ids)
         return pack.node_bbox, pack.chunk_bbox
 
-    nb1, _ = repack(jnp.asarray(p0))
-    nb2, _ = repack(jnp.asarray(p0) + 5.0)
+    nb1, _ = repack(0.0)
+    nb2, _ = repack(5.0)
     # boxes follow the geometry
     np.testing.assert_allclose(np.asarray(nb2[0, 0:3]),
                                np.asarray(nb1[0, 0:3]) + 5.0, atol=1e-4)
 
 
 def test_empty_padding_boxes_are_far():
-    p0, e1, e2 = _ico(2)  # 320 tris -> 3 real chunks, padded to 4+
-    plan = meshpack.make_plan(p0, e1, e2)
-    pack = meshpack.pack_from_plan(plan, p0, e1, e2,
-                                   np.arange(p0.shape[0]))
+    v0, v1, v2 = _ico(2)  # 320 tris -> 3 real chunks, padded to 4+
+    plan = meshpack.make_plan(v0, v1, v2)
+    pack = meshpack.pack_from_plan(plan, v0, v1, v2,
+                                   np.arange(v0.shape[0]))
     cbox = np.asarray(pack.chunk_bbox)
-    n_real = -(-p0.shape[0] // meshpack.TRIS_PER_CHUNK)
+    n_real = -(-v0.shape[0] // meshpack.TRIS_PER_CHUNK)
     if cbox.shape[0] > n_real:
         assert (cbox[n_real:, 0:3] >= meshpack.BIG / 2).all()
         assert (cbox[n_real:, 3:6] >= meshpack.BIG / 2).all()

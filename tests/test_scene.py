@@ -69,8 +69,10 @@ def test_mesh_loading():
     assert prims.count == 6
     cat = np.asarray(prims.category)
     assert list(cat[-2:]) == [2, 2]
-    # triangle data2/data3 are edge vectors
+    # triangle data2/data3 are VERTICES v1/v2 (watertight convention)
     np.testing.assert_allclose(np.asarray(prims.data2[-2]), [1, 0, 0])
+    np.testing.assert_allclose(np.asarray(prims.data2[-1]), [1, 1, 0])
+    np.testing.assert_allclose(np.asarray(prims.data3[-1]), [0, 1, 0])
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,121 @@
+"""Watertightness of the triangle intersector (north-star requirement).
+
+The reference has no triangle support at all; meshes are the BASELINE
+configs 3-5 extension. These tests pin the Woop-style shear-constant
+edge-function test (ops/intersect.py:watertight_inside): a ray aimed at
+a point on the SHARED edge (or a shared vertex) of two adjacent
+icosphere triangles must hit at least one of them — the classic crack
+case that the plain Moller-Trumbore epsilon form fails. Triangles store
+vertices (not edge vectors) precisely so shared endpoints are bitwise
+identical across neighbors (scene/data.py layout note).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from computeraytracer_tpu.ops import intersect as isect
+from computeraytracer_tpu.scene import mesh as mesh_ops
+
+
+def _shared_edges(faces):
+    """(edge -> [face ids]) for edges shared by exactly two faces."""
+    edges = {}
+    for fi, (a, b, c) in enumerate(faces):
+        for u, v in ((a, b), (b, c), (c, a)):
+            key = (u, v) if u < v else (v, u)
+            edges.setdefault(key, []).append(fi)
+    return {k: v for k, v in edges.items() if len(v) == 2}
+
+
+def _front_facing(verts, faces, eye):
+    v0 = verts[faces[:, 0]]
+    n = np.cross(verts[faces[:, 1]] - v0, verts[faces[:, 2]] - v0)
+    return (n * (v0 - eye)).sum(1) * np.sign(
+        (n * v0).sum(1)) < -1e-6  # outward normal faces the eye
+
+
+def _edge_targets(rng, verts, shared, faces, front, n_points=3):
+    """f32 points on shared front-facing edges + their two face ids.
+
+    Vertex-aimed rays are only added when the vertex's ENTIRE incident
+    fan is front-facing: the test rays pass within ~1 ulp of (not
+    exactly through) their target, and near a SILHOUETTE vertex such a
+    ray legitimately grazes past the surface — a tangent near-miss,
+    not a crack.
+    """
+    incident = {}
+    for fi, tri in enumerate(faces):
+        for vi in tri:
+            incident.setdefault(int(vi), []).append(fi)
+    fan_front = {vi: all(front[f] for f in fs)
+                 for vi, fs in incident.items()}
+    pts, pairs = [], []
+    for (a, b), (f1, f2) in shared.items():
+        if not (front[f1] and front[f2]):
+            continue
+        va = verts[a].astype(np.float32)
+        vb = verts[b].astype(np.float32)
+        for w in rng.uniform(0.05, 0.95, n_points):
+            # f32 combination: the point is within ~1 ulp of the edge
+            pts.append(np.float32(1.0 - w) * va + np.float32(w) * vb)
+            pairs.append((f1, f2))
+        if fan_front[int(a)]:
+            pts.append(va)  # shared VERTEX (full front-facing fan)
+            pairs.append((f1, f2))
+    return np.asarray(pts, np.float32), pairs
+
+
+def test_shared_edge_rays_always_hit_one_neighbor():
+    rng = np.random.default_rng(0)
+    verts, faces = mesh_ops.icosphere(2)  # 320 faces
+    eye = np.array([0.0, 0.3, 3.0], np.float32)
+    shared = _shared_edges(faces)
+    assert len(shared) == 480  # closed 2-manifold: E = 3F/2
+    front = _front_facing(verts, faces, eye)
+    pts, pairs = _edge_targets(rng, verts, shared, faces, front)
+    assert len(pts) > 400
+
+    v32 = verts.astype(np.float32)
+    v0 = jnp.asarray(v32[faces[:, 0]])
+    v1 = jnp.asarray(v32[faces[:, 1]])
+    v2 = jnp.asarray(v32[faces[:, 2]])
+    o = jnp.broadcast_to(jnp.asarray(eye), (len(pts), 3))
+    d = jnp.asarray(pts) - o  # unnormalized is fine
+
+    t, ok = isect.triangle_candidates(o[:, None, :], d[:, None, :],
+                                      v0, v1, v2)
+    ok = np.asarray(ok & (t >= isect.T_MIN))
+    # the crack property: for EVERY edge point, at least one of the two
+    # adjacent triangles (or, at a vertex, any incident one) accepts
+    misses = [i for i, (f1, f2) in enumerate(pairs)
+              if not (ok[i, f1] or ok[i, f2] or ok[i].any())]
+    assert not misses, f"{len(misses)} crack rays leaked, e.g. {misses[:5]}"
+
+
+def test_scene_scan_never_leaks_through_closed_surface():
+    """End-to-end: intersect_brute on a closed mesh must hit for every
+    edge-aimed ray (a leak would shoot through the closed surface)."""
+    from computeraytracer_tpu.scene import data as sdata
+
+    rng = np.random.default_rng(1)
+    verts, faces = mesh_ops.icosphere(2)
+    eye = np.array([0.0, 0.3, 3.0], np.float32)
+    shared = _shared_edges(faces)
+    front = _front_facing(verts, faces, eye)
+    pts, _ = _edge_targets(rng, verts, shared, faces, front, n_points=2)
+
+    cols = mesh_ops.mesh_arrays(verts, faces, reflectance=0, emission=0,
+                                material=0)
+    prims = sdata.ScenePrimitives(
+        index=np.arange(len(faces), dtype=np.int32),
+        **{k: cols[k] for k in ("category", "data1", "data2", "data3",
+                                "emission", "reflectance", "material")})
+    import jax
+    prims = jax.tree_util.tree_map(jnp.asarray, prims)
+
+    o = jnp.broadcast_to(jnp.asarray(eye), (len(pts), 3))
+    d = jnp.asarray(pts) - o
+    hit = isect.intersect_brute(o, d, jnp.full(len(pts), -1, jnp.int32),
+                                prims)
+    n_miss = int((~np.asarray(hit.hit)).sum())
+    assert n_miss == 0, f"{n_miss}/{len(pts)} edge rays leaked through"
