@@ -10,12 +10,18 @@ from computeraytracer_tpu.parallel import render_sharded
 from computeraytracer_tpu.tracer import xla as xla_tracer
 
 
-def _assert_mostly_equal(got, want, frac=0.99, tol=1e-3):
+def _assert_mostly_equal(got, want, frac=0.99, tol=1e-3, energy_frac=1e-3):
     rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-2)
     close = (rel < tol).all(axis=-1)
     assert close.mean() >= frac, (
         f"only {close.mean():.4f} pixels match, worst rel {rel.max():.3g}")
     assert np.median(rel) < 1e-5
+    # bound the divergent set's total energy error, not just its count
+    div_energy = np.abs(got - want)[~close].sum()
+    total = np.abs(want).sum() + 1e-12
+    assert div_energy <= energy_frac * total, (
+        f"divergent pixels carry {div_energy / total:.3e} of image "
+        f"energy (limit {energy_frac:g})")
 
 
 @pytest.fixture(scope="module")
