@@ -52,11 +52,3 @@ class RenderMeter:
         if self.total_seconds == 0:
             return 0.0
         return self.total_paths / self.total_seconds / 1e6
-
-
-def profile_trace(log_dir: str):
-    """Context manager: capture a jax.profiler trace viewable in
-    TensorBoard/XProf (SURVEY.md §5 tracing equivalent)."""
-    import jax
-
-    return jax.profiler.trace(log_dir)

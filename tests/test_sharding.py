@@ -70,6 +70,24 @@ def test_sharded_gradient_matches_single_device(cornell_scene, mesh42):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_sharded_gradient_layout_independent(cornell_scene):
+    """Grad parity across mesh reshapes — (2,4) vs (8,1) must agree, so
+    sharding layout never changes the training signal (VERDICT r1 §7)."""
+    from computeraytracer_tpu.train import optimize as opt
+
+    w = h = 16
+    params, static = opt.split_scene(cornell_scene, ("spectra",))
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    grads = []
+    for shape in ((2, 4), (8, 1)):
+        mesh = mesh_mod.make_mesh(jax.devices()[:8], shape)
+        loss = opt.make_loss_fn(static, w, h, 4, 2, mesh=mesh)
+        grads.append(jax.grad(loss)(params, target, jnp.uint32(1)))
+    np.testing.assert_allclose(np.asarray(grads[0]["spectra"]),
+                               np.asarray(grads[1]["spectra"]),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_sharded_render_with_bvh_matches_brute(mesh42):
     """Mesh-scale sharding (BASELINE config 5 shape): BVH replicated per
     device, film rows sharded."""
