@@ -285,7 +285,8 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
                 v = _vdot(m, e2) * inv_e2
                 inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
             else:  # triangle: watertight edge-function inside test
-                inside = isect.watertight_inside(wt, p0, v1, v2)
+                inside = isect.watertight_inside(wt, p0, v1, v2,
+                                                 barrier=False)
             valid = (not_excluded & ~grazing & inside
                      & (t >= T_MIN) & (t <= state["t"]))
             sgn = jnp.where(flip, -1.0, 1.0)
@@ -398,7 +399,8 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
                     num = (n0[0] * (p0[0] - o[0]) + n0[1] * (p0[1] - o[1])
                            + n0[2] * (p0[2] - o[2]))
                     t = num / jnp.where(grazing, 1.0, ndotd)
-                    inside = isect.watertight_inside(wt, p0, v1, v2)
+                    inside = isect.watertight_inside(wt, p0, v1, v2,
+                                                 barrier=False)
                     valid = ((exclude != tid) & (tid >= 0) & ~grazing
                              & inside & (t >= T_MIN)
                              & ((t < t_best)

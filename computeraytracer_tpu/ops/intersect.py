@@ -151,7 +151,7 @@ def watertight_setup(o3, d3):
     return (kx, ky, kz, sx, sy, okx, oky, okz)
 
 
-def watertight_inside(setup, v0, v1, v2):
+def watertight_inside(setup, v0, v1, v2, *, barrier: bool = True):
     """Watertight 2D edge-function inside test; True if the sheared ray
     passes through triangle (v0, v1, v2) (3-tuples of arrays).
 
@@ -162,6 +162,19 @@ def watertight_inside(setup, v0, v1, v2):
     functions that round to exactly 0) is unnecessary here — an exact
     0 is accepted by BOTH triangles, which double-hits instead of
     cracking, and last-wins tie-breaking picks one.
+
+    barrier: each edge function must be a difference of two
+    INDIVIDUALLY f32-rounded products — an fma(a, b, -(c*d)) fusion's
+    single-rounded first product breaks the exact-negation symmetry
+    between adjacent triangles' shared-edge functions, the whole
+    watertight argument. On paths compiled by XLA (which does fuse
+    mul+sub on some backends) optimization_barrier pins the rounding at
+    zero runtime cost. Inside the Pallas TPU megakernel pass
+    barrier=False: Mosaic has no optimization_barrier lowering, and
+    none is needed — the TPU VPU has no f32 vector FMA, so mul and sub
+    round separately by construction (verified empirically:
+    `x*x - y*y` with x == y == 1+2^-12 is exactly 0 in a pallas_call
+    on v5e, i.e. both products round before the subtract).
     """
     kx, ky, kz, sx, sy, okx, oky, okz = setup
 
@@ -174,15 +187,12 @@ def watertight_inside(setup, v0, v1, v2):
     ax_, ay_ = shear2(v0)
     bx_, by_ = shear2(v1)
     cx_, cy_ = shear2(v2)
-    # Each edge function MUST be a difference of two individually f32-
-    # ROUNDED products: XLA fuses `a*b - c*d` into fma(a, b, -(c*d)),
-    # whose single-rounded first product breaks the exact-negation
-    # symmetry between adjacent triangles' shared-edge functions — the
-    # whole watertight argument. optimization_barrier pins the rounding
-    # (it costs nothing at runtime; it only blocks the fusion).
+
     def edge_fn(px, py, qx, qy):
-        p1 = jax.lax.optimization_barrier(px * qy)
-        p2 = jax.lax.optimization_barrier(py * qx)
+        p1, p2 = px * qy, py * qx
+        if barrier:
+            p1 = jax.lax.optimization_barrier(p1)
+            p2 = jax.lax.optimization_barrier(p2)
         return p1 - p2
 
     u = edge_fn(cx_, cy_, bx_, by_)
