@@ -89,6 +89,13 @@ def intersect_bvh(o, d, exclude, prims, bvh, t_min=T_MIN) -> isect.Hit:
         t1 = (bmax - o_l) * inv_d
         t_enter = jnp.max(jnp.minimum(t0, t1), axis=-1)
         t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # pad the interval by 4 ulp (Ize 2013): shared mesh edges lie
+        # exactly on node AABB faces, and an unpadded slab can cull an
+        # edge-grazing ray before it reaches the one triangle whose
+        # watertight test would accept it
+        pad = jnp.float32(4 * 2.0 ** -23)
+        t_exit = t_exit + jnp.abs(t_exit) * pad
+        t_enter = t_enter - jnp.abs(t_enter) * pad
         hit_box = active & (t_enter <= t_exit) & (t_exit >= t_min) & \
             (t_enter <= t_best)
 

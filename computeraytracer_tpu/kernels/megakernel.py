@@ -222,13 +222,17 @@ def _rand_masked(seed, mask):
 # ---------------------------------------------------------------------------
 
 def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
-                     mesh_accessors=()):
+                     mesh_accessors=(), barrier: bool = False):
     """In-order closest-hit scan (wgsl:503-632 semantics) + mesh BVH.
 
     getp(slot, j): scalar element j of unrolled-primitive slot (SMEM ref
     read in the forward kernel; jnp array read under the backward's
     vjp). mesh_accessors: per mesh part, (part, reads) where reads is
-    the accessor tuple consumed by _scan_mesh_part.
+    the accessor tuple consumed by _scan_mesh_part. barrier: forwarded
+    to ops/intersect.watertight_inside — True whenever this trace is
+    compiled by XLA (interpret mode / the replay) so mul+sub cannot fuse
+    into FMA and break the shared-edge exact-negation symmetry; False
+    under Mosaic, whose VPU has no f32 FMA (see watertight_inside).
     Returns dict of (T,128) planes: hit, t, idx, pos, nrm.
     """
     from computeraytracer_tpu.ops import intersect as isect
@@ -247,6 +251,12 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
     # ops so XLA/Pallas/replay decisions agree bit-for-bit)
     wt = (isect.watertight_setup(o, d)
           if any(c == 2 for c in static.categories) else None)
+    # NOTE: all directions d reaching this scan are unit-length by
+    # construction (camera rays, cosine-hemisphere samples, normalized
+    # refraction, reflections of unit vectors), so the |n.d| < 1e-4
+    # grazing cutoff is a fixed ~0.006deg angular band. Grazing
+    # rejection at silhouette shared edges is the one known exception
+    # to the watertight guarantee (ops/intersect.py docstring).
 
     for slot, (i, cat) in enumerate(zip(static.rows, static.categories)):
         not_excluded = exclude != i
@@ -286,7 +296,7 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
                 inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
             else:  # triangle: watertight edge-function inside test
                 inside = isect.watertight_inside(wt, p0, v1, v2,
-                                                 barrier=False)
+                                                 barrier=barrier)
             valid = (not_excluded & ~grazing & inside
                      & (t >= T_MIN) & (t <= state["t"]))
             sgn = jnp.where(flip, -1.0, 1.0)
@@ -318,12 +328,14 @@ def _scan_primitives(static: SceneStatic, getp, o, d, exclude, shape,
         }
 
     for part, reads in mesh_accessors:
-        state = _scan_mesh_part(part, reads, o, d, exclude, state, shape)
+        state = _scan_mesh_part(part, reads, o, d, exclude, state, shape,
+                                barrier=barrier)
     state["hit"] = state["idx"] >= 0
     return state
 
 
-def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
+def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape,
+                    barrier: bool = False):
     """Stackless BVH traversal over Morton chunks of one mesh part.
 
     reads = (tri_read, cbox_read, nbox_read, nmeta_read, n_nodes) per
@@ -358,7 +370,12 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
         """True when any ray in the tile can hit box bb closer than its
         current best. Degenerate empty boxes (lo == hi == BIG,
         meshpack.py) produce t_enter == +inf, excluded explicitly so
-        `inf <= inf` against miss lanes' t_best can't fake a hit."""
+        `inf <= inf` against miss lanes' t_best can't fake a hit.
+        The interval is padded by 4 ulp on both ends (Ize 2013, "Robust
+        BVH Ray Traversal"): shared mesh edges often lie exactly on
+        chunk/node AABB faces, and an unpadded slab can round the box
+        away from the one triangle whose watertight test would accept
+        an edge-grazing ray."""
         t_enter = jnp.full(shape, -jnp.inf, jnp.float32)
         t_exit = jnp.full(shape, jnp.inf, jnp.float32)
         for c in range(3):
@@ -366,6 +383,9 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
             t1 = (bb[0, 3 + c] - o[c]) * inv_d[c]
             t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
             t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+        pad = jnp.float32(4 * 2.0 ** -23)
+        t_exit = t_exit + jnp.abs(t_exit) * pad
+        t_enter = t_enter - jnp.abs(t_enter) * pad
         return ((t_enter <= t_exit) & (t_exit >= T_MIN)
                 & (t_enter <= t_best) & (t_enter < jnp.inf))
 
@@ -400,7 +420,7 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
                            + n0[2] * (p0[2] - o[2]))
                     t = num / jnp.where(grazing, 1.0, ndotd)
                     inside = isect.watertight_inside(wt, p0, v1, v2,
-                                                 barrier=False)
+                                                     barrier=barrier)
                     valid = ((exclude != tid) & (tid >= 0) & ~grazing
                              & inside & (t >= T_MIN)
                              & ((t < t_best)
@@ -446,7 +466,8 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape):
     return {"t": out[1], "idx": out[2], "pos": out[3], "nrm": out[4]}
 
 
-def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
+def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int,
+                barrier: bool = False):
     """One bounce of the path-trace loop (wgsl:133-293) over all lanes.
 
     Returns bounce(getp, gets, diff, nondiff, depth, mesh_accessors,
@@ -501,7 +522,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int):
         if scan_fn is None:
             def scan_fn(tag, so, sd, sexcl):
                 return _scan_primitives(static, getp, so, sd, sexcl,
-                                        shape, mesh_accessors)
+                                        shape, mesh_accessors, barrier)
 
         hit = scan_fn("main", o, d, exclude)
         lane_hit = active & hit["hit"]
@@ -837,7 +858,11 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
     S = static.n_spectra
     shape = (tile_m, LANES)
     depth_n = max_depth + 1
-    bounce = make_bounce(static, shape, max_depth, rr_start)
+    # interpret mode executes the trace through XLA, which may fuse the
+    # watertight edge functions into FMAs — keep the barrier there;
+    # Mosaic-compiled runs have no f32 FMA and no barrier lowering
+    bounce = make_bounce(static, shape, max_depth, rr_start,
+                         barrier=interpret)
     parts = static.mesh_parts
     n_lights = max(1, len(static.light_rows))
 
@@ -960,7 +985,8 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
     """
     S = static.n_spectra
     shape = (tile_m, LANES)
-    bounce = make_bounce(static, shape, max_depth, rr_start)
+    bounce = make_bounce(static, shape, max_depth, rr_start,
+                         barrier=interpret)
     parts = static.mesh_parts
     n_lights = max(1, len(static.light_rows))
 
@@ -1072,7 +1098,21 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
     s4 = S * 4
     shape = (tile_m, LANES)
     depth_n = max_depth + 1
-    bounce = make_bounce(static, shape, max_depth, rr_start)
+    # VMEM budget guard: the replay tape is (depth+1) x 24 planes of
+    # tile_m x 128 x 4B scratch, and Mosaic's failure mode for an
+    # oversized allocation is an opaque error — fail here with the knob
+    # named instead. Budget = half of v5e's 128 MiB VMEM, leaving the
+    # other half for the carry, spectra tile and the vjp's live values.
+    tape_bytes = depth_n * (N_DIFF + 8) * tile_m * LANES * 4
+    budget = 64 * 1024 * 1024
+    if tape_bytes > budget:
+        max_tile = budget // (depth_n * (N_DIFF + 8) * LANES * 4)
+        raise ValueError(
+            f"backward tape needs {tape_bytes / 2**20:.0f} MiB of VMEM "
+            f"(depth {max_depth}, tile_m {tile_m}) > {budget // 2**20} "
+            f"MiB budget; pass tile_m<={max_tile} (or reduce max_depth)")
+    bounce = make_bounce(static, shape, max_depth, rr_start,
+                         barrier=interpret)
 
     def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, dl_ref,
                dprims_ref, drays_ref, dspect_ref,

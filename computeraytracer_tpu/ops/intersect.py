@@ -216,6 +216,16 @@ def triangle_candidates(o, d, v0, v1, v2):
     shared patch/triangle branch (kernels/megakernel.py
     _scan_primitives), so XLA, Pallas and the taped replay agree
     bit-for-bit; validity is the Woop watertight edge test.
+
+    Direction contract: d SHOULD be unit-length — the |n.d| < 1e-4
+    grazing cutoff compares a normalized normal against d, so the
+    effective angular rejection band scales with 1/|d| (callers in this
+    framework always pass normalized directions: camera rays,
+    cosine-hemisphere samples, normalized refractions). Known watertight
+    exception: at a SILHOUETTE shared edge the two adjacent triangles
+    face the ray at different angles, and the grazing cutoff can reject
+    one while the other's edge test fails — a ~1e-4-radian leak band
+    that exists in the reference's estimator too (wgsl:538).
     """
     o3, d3 = _comps(o), _comps(d)
     v03, v13, v23 = _comps(v0), _comps(v1), _comps(v2)

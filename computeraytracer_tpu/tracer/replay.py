@@ -125,7 +125,12 @@ def trace_replay(static, cats, prims_full, rays, seeds, spect_p,
     O(carry * depth).
     """
     shape = rays.shape[1:]
-    bounce = mk.make_bounce(static, shape, max_depth, rr_start)
+    # barrier=True: the replay traces to a plain XLA program (never
+    # Mosaic), where the watertight edge functions need the
+    # anti-FMA-fusion barrier (all its scans are taped overrides, so
+    # this only matters if a caller ever drops scan_fn)
+    bounce = mk.make_bounce(static, shape, max_depth, rr_start,
+                            barrier=True)
     prims_u = prims_full[jnp.asarray(static.rows)]
     getp = lambda i, j: prims_u[i, j]
     gets = lambda row: tuple(spect_p[row * 4 + j] for j in range(4))

@@ -21,6 +21,14 @@ def _ocp():
     return ocp
 
 
+# Geometry layout version persisted with every checkpoint. Version 2 =
+# triangle rows (category 2) store ABSOLUTE VERTICES in data2/data3
+# (scene/data.py); version 1 (round-1 layout) stored edge vectors. A
+# version-1 checkpoint containing triangles would restore cleanly but be
+# silently reinterpreted as vertices — fail loudly instead.
+LAYOUT_VERSION = 2
+
+
 class Checkpointer:
     """Minimal step-indexed checkpointer over a pytree."""
 
@@ -35,7 +43,8 @@ class Checkpointer:
     def save(self, step: int, params: Any, opt_state: Any = None,
              extra: Any = None):
         payload = {"params": params, "opt_state": opt_state, "extra": extra,
-                   "step": np.int64(step)}
+                   "step": np.int64(step),
+                   "layout_version": np.int64(LAYOUT_VERSION)}
         self._ckptr.save(self._path(step), payload, force=True)
 
     def latest_step(self) -> Optional[int]:
@@ -50,8 +59,24 @@ class Checkpointer:
 
     def restore(self, step: int, params_like: Any, opt_state_like: Any = None):
         template = {"params": params_like, "opt_state": opt_state_like,
-                    "extra": None, "step": np.int64(0)}
-        restored = self._ckptr.restore(self._path(step), item=template)
+                    "extra": None, "step": np.int64(0),
+                    "layout_version": np.int64(0)}
+        try:
+            restored = self._ckptr.restore(self._path(step), item=template)
+        except Exception as e:
+            # pre-versioning checkpoints lack the layout_version key and
+            # fail the template match: refuse rather than reinterpret
+            # round-1 edge-vector triangle geometry as vertices
+            raise ValueError(
+                f"checkpoint {self._path(step)} has no layout_version "
+                f"(pre-v{LAYOUT_VERSION} geometry layout, or corrupt); "
+                "re-create it from current scene data") from e
+        v = int(restored["layout_version"])
+        if v != LAYOUT_VERSION:
+            raise ValueError(
+                f"checkpoint {self._path(step)} uses geometry layout "
+                f"v{v}, this build expects v{LAYOUT_VERSION} "
+                "(triangle rows: absolute vertices in data2/data3)")
         return restored
 
     def restore_latest(self, params_like: Any, opt_state_like: Any = None):

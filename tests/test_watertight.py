@@ -119,3 +119,109 @@ def test_scene_scan_never_leaks_through_closed_surface():
                                 prims)
     n_miss = int((~np.asarray(hit.hit)).sum())
     assert n_miss == 0, f"{n_miss}/{len(pts)} edge rays leaked through"
+
+
+def _closed_mesh_prims():
+    """(prims, eye, edge-aimed unit dirs) for the icosphere leak setup."""
+    from computeraytracer_tpu.scene import data as sdata
+    import jax
+
+    rng = np.random.default_rng(3)
+    verts, faces = mesh_ops.icosphere(2)
+    eye = np.array([0.0, 0.3, 3.0], np.float32)
+    shared = _shared_edges(faces)
+    front = _front_facing(verts, faces, eye)
+    pts, _ = _edge_targets(rng, verts, shared, faces, front, n_points=2)
+
+    cols = mesh_ops.mesh_arrays(verts, faces, reflectance=0, emission=0,
+                                material=0)
+    prims = sdata.ScenePrimitives(
+        index=np.arange(len(faces), dtype=np.int32),
+        **{k: cols[k] for k in ("category", "data1", "data2", "data3",
+                                "emission", "reflectance", "material")})
+    prims = jax.tree_util.tree_map(jnp.asarray, prims)
+    o = np.broadcast_to(eye, (len(pts), 3)).astype(np.float32)
+    d = pts - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    return prims, o, d
+
+
+def test_bvh_traversal_never_leaks_through_closed_surface():
+    """Same leak property through intersect_bvh: the padded slab test
+    (Ize 2013) must not cull an edge-grazing ray at a node boundary
+    before it reaches the one triangle that would accept it."""
+    from computeraytracer_tpu.bvh import builder, traverse
+
+    prims, o, d = _closed_mesh_prims()
+    bvh = builder.build_bvh(np.asarray(prims.category),
+                            np.asarray(prims.data1),
+                            np.asarray(prims.data2),
+                            np.asarray(prims.data3))
+    hit = traverse.intersect_bvh(jnp.asarray(o), jnp.asarray(d),
+                                 jnp.full(len(o), -1, jnp.int32),
+                                 prims, bvh)
+    n_miss = int((~np.asarray(hit.hit)).sum())
+    assert n_miss == 0, f"{n_miss}/{len(o)} edge rays leaked through BVH"
+
+
+def test_mesh_part_scan_never_leaks_through_closed_surface():
+    """Same leak property through the Pallas megakernel's chunk-BVH mesh
+    scan (_scan_mesh_part): the node/chunk slab culls plus the in-kernel
+    watertight test must hit a mesh triangle for every edge-aimed ray.
+    The taped forward's per-bounce winner record is the observable."""
+    from computeraytracer_tpu.kernels import megakernel as mk
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pallas_tracer
+
+    rng = np.random.default_rng(4)
+    verts, faces = mesh_ops.icosphere(2)
+    eye = np.array([0.0, 0.3, 3.0], np.float32)
+    shared = _shared_edges(faces)
+    front = _front_facing(verts, faces, eye)
+    pts, _ = _edge_targets(rng, verts, shared, faces, front, n_points=2)
+
+    doc = {
+        "camera": {"eye": [0, 0.3, 3], "lookat": [0, 0, 0],
+                   "up": [0, 1, 0], "focalLength": 0.9,
+                   "width": 8, "height": 8},
+        "objects": {
+            "patches": [presets._patch([-2, 5, -2], [4, 0, 0], [0, 0, 4],
+                                       "white", "light", "light")],
+            "meshes": [{"vertices": verts.tolist(),
+                        "faces": faces.tolist(), "emission": "dark",
+                        "reflectance": "white", "type": "diffuse"}],
+        },
+        "spectra": presets._cornell_spectra(),
+    }
+    scene, _ = scene_from_dict(doc)
+    static = mk.SceneStatic.from_scene(scene, mesh_min=64)
+    assert static.mesh_parts
+    part = static.mesh_parts[0]
+
+    tile_m = 8
+    tile = tile_m * mk.LANES
+    r = len(pts)
+    r_pad = -(-r // tile) * tile
+    m = r_pad // mk.LANES
+    o = np.broadcast_to(eye, (r, 3)).astype(np.float32)
+    d = pts - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    def planes(x, dtype):
+        out = np.zeros((x.shape[1], r_pad), dtype)
+        out[:, :r] = x.T.astype(dtype)
+        return jnp.asarray(out.reshape(x.shape[1], m, mk.LANES))
+
+    rays = planes(np.concatenate([o, d], axis=1), np.float32)
+    seeds = planes(np.ones((r, 4), np.uint32), np.uint32)
+    spect = jnp.ones((static.n_spectra * 4, m, mk.LANES), jnp.float32)
+    packs = pallas_tracer.mesh_packs_for(scene, static)
+    mesh_arrays = tuple(jnp.asarray(a) for p in packs for a in p.arrays)
+    fwd = mk.build_forward(static, max_depth=0, rr_start=1,
+                           tile_m=tile_m, interpret=True, taped=True)
+    _, tape_idx, _ = fwd(mk.pack_prims(scene, static), rays, seeds, spect,
+                         *mesh_arrays)
+    winner = np.asarray(tape_idx)[0].reshape(-1)[:r]
+    leaked = winner < part.start  # miss (-1) or the light patch
+    assert not leaked.any(), (
+        f"{int(leaked.sum())}/{r} edge rays leaked through the mesh scan")
