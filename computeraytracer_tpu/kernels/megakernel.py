@@ -972,11 +972,13 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
     its CAMERA coherence for every bounce — after the first diffuse
     bounce the tile's rays point everywhere and the chunk-BVH cull
     collapses to a full scan. The wavefront orchestrator
-    (tracer/pallas.py trace_radiance_wavefront) instead re-sorts the
-    ray population BETWEEN bounces (direction octant + position Morton)
-    in XLA, so every dispatch of this kernel sees spatially coherent
-    tiles. Per-ray arithmetic is identical to the megakernel — same
-    bounce function, same pcg4d draws — so results match bit-for-bit.
+    (tracer/pallas.py _wavefront_forward, reached via
+    trace_radiance(wavefront=True)) instead re-sorts the ray population
+    BETWEEN bounces (direction octant + position Morton) in XLA, so
+    every dispatch of this kernel sees spatially coherent tiles.
+    Per-ray arithmetic is identical to the megakernel — same bounce
+    function, same pcg4d draws — so results match bit-for-bit
+    (tests/test_meshpack.py pins it).
 
     Returns f(depth (1,1) i32, prims_f (P,12), carry_f (16,M,128) f32,
     carry_u (4,M,128) u32, carry_i (4,M,128) i32, spect (S4,M,128),

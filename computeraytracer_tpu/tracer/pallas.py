@@ -48,6 +48,11 @@ from computeraytracer_tpu.tracer import xla as xla_tracer
 LANES = mk.LANES
 SceneStatic = mk.SceneStatic
 
+# Resolved default for trace_radiance(wavefront=None) on mesh scenes.
+# Measured on v5e (benchmarks/mesh_diag.py --wavefront, 81920 tris,
+# 256^2 depth 4): see STAGED_r03.json / README "Measured".
+MESH_WAVEFRONT_DEFAULT = False
+
 
 @functools.lru_cache(maxsize=64)
 def _forward_cached(static, max_depth, rr_start, tile_m, interpret,
@@ -285,7 +290,7 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                    rr_start: int = 1, tile_m: int | None = None,
                    static: SceneStatic | None = None,
                    backward: str = "pallas", mesh_packs=None,
-                   mesh_plans=None):
+                   mesh_plans=None, wavefront: bool | None = None):
     """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance.
 
     Differentiable w.r.t. scene geometry/spectra and the rays (o, d).
@@ -297,9 +302,21 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     geometry. tile_m=None picks DEFAULT_TILE_M, or MESH_TILE_M for mesh
     scenes (smaller tiles cull better: a box is entered only when ANY
     ray in the tile can hit it).
+
+    wavefront=True dispatches mesh scenes one bounce at a time with
+    inter-bounce ray sorting (direction octant + origin Morton) so ray
+    tiles stay spatially coherent at every depth instead of only at the
+    camera — see _wavefront_forward. Results are bit-identical to the
+    in-kernel bounce loop (tests/test_meshpack.py pins this).
+    wavefront=None resolves to MESH_WAVEFRONT_DEFAULT for mesh scenes;
+    non-mesh scenes ignore the flag (the unrolled scan has no
+    coherence-dependent culling to help).
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
+    if wavefront is None:
+        wavefront = MESH_WAVEFRONT_DEFAULT
+    wavefront = bool(wavefront and static.mesh_parts)
     if tile_m is None:
         tile_m = mk.MESH_TILE_M if static.mesh_parts else mk.DEFAULT_TILE_M
     mesh_arrays = ()
@@ -355,12 +372,26 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     interpret = _use_interpret()
 
     if backward == "replay":
-        fwd_t = _forward_cached(static, int(max_depth), int(rr_start),
-                                tile_m, interpret, True)
         cats = jnp.asarray(scene.primitives.category, jnp.int32)
-        out = _mesh_call(fwd_t, static, int(max_depth), int(rr_start),
-                         mk.pack_prims(scene), rays, seeds, spect_p,
-                         cats, mesh_arrays)
+        if wavefront:
+            step_fn = _bounce_step_cached(static, int(max_depth),
+                                          int(rr_start), tile_m, interpret)
+            out = _mesh_call_wf(step_fn, static, int(max_depth),
+                                int(rr_start), mk.pack_prims(scene), rays,
+                                seeds, spect_p, cats, mesh_arrays)
+        else:
+            fwd_t = _forward_cached(static, int(max_depth), int(rr_start),
+                                    tile_m, interpret, True)
+            out = _mesh_call(fwd_t, static, int(max_depth), int(rr_start),
+                             mk.pack_prims(scene), rays, seeds, spect_p,
+                             cats, mesh_arrays)
+    elif wavefront and backward == "none":
+        step_fn = _bounce_step_cached(static, int(max_depth),
+                                      int(rr_start), tile_m, interpret)
+        prims_u = mk.pack_prims(scene, static)
+        out, _, _ = _wavefront_forward(step_fn, static, int(max_depth),
+                                       prims_u, rays, seeds, spect_p,
+                                       mesh_arrays)
     elif backward == "pallas":
         fwd = _forward_cached(static, int(max_depth), int(rr_start),
                               tile_m, interpret)
@@ -380,7 +411,8 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
                   backward: str = "pallas", mesh_packs=None,
-                  tile_m: int | None = None, mesh_plans=None):
+                  tile_m: int | None = None, mesh_plans=None,
+                  wavefront: bool | None = None):
     """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
 
     With backward="pallas" (default) this is a plain differentiable
@@ -405,7 +437,8 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
                                   rr_start, tile_m=tile_m, static=static,
                                   backward=backward,
                                   mesh_packs=mesh_packs,
-                                  mesh_plans=mesh_plans)
+                                  mesh_plans=mesh_plans,
+                                  wavefront=wavefront)
         return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
 
     if backward != "xla":
@@ -470,7 +503,8 @@ def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   static: SceneStatic | None = None,
                   backward: str = "pallas", mesh_packs=None,
-                  tile_m: int | None = None, mesh_plans=None, **_):
+                  tile_m: int | None = None, mesh_plans=None,
+                  wavefront: bool | None = None, **_):
     if static is None:
         static = SceneStatic.from_scene(scene)
     if static.mesh_parts and mesh_packs is None and mesh_plans is None:
@@ -486,7 +520,7 @@ def render_sample(scene, width: int, height: int, sample,
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
                         rr_start, static=static, backward=backward,
                         mesh_packs=mesh_packs, tile_m=tile_m,
-                        mesh_plans=mesh_plans)
+                        mesh_plans=mesh_plans, wavefront=wavefront)
     if order is not None:
         xyz = jnp.take(xyz, inv, axis=0)
     return xyz.reshape(height, width, 3)

@@ -65,6 +65,80 @@ def test_mesh_chunk_scan_matches_xla():
     assert (rel < 1e-4).all(axis=-1).mean() >= 0.999, rel.max()
 
 
+def test_wavefront_matches_megakernel_bitexact():
+    """trace_radiance(wavefront=True) — one kernel dispatch per bounce
+    with inter-bounce ray sorting (tracer/pallas.py _wavefront_forward)
+    — returns BIT-IDENTICAL radiance to the in-kernel bounce loop: the
+    sort only regroups lanes into tiles, and tile membership influences
+    nothing but conservative culling decisions (slab_any / the NEE
+    any(lsel) scan skip), never per-lane arithmetic."""
+    import jax.numpy as jnp
+
+    from computeraytracer_tpu.kernels.megakernel import SceneStatic
+    from computeraytracer_tpu.ops import camera as cam_ops
+    from computeraytracer_tpu.ops import rng as rng_ops
+    from computeraytracer_tpu.ops import spectrum as spec
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer.pallas import trace_radiance
+
+    w, h = 64, 32  # 2048 rays -> 2 tiles at tile_m=8: the sort runs
+    scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=2))
+    static = SceneStatic.from_scene(scene, mesh_min=64)
+    assert static.mesh_parts
+    px, py = xla_tracer.tile_coords(w, h, 0)
+    seed = rng_ops.seed_pixel(px, py, jnp.uint32(1))
+    o, d, seed = cam_ops.camera_rays(
+        scene.camera.eye, scene.camera.lookat, scene.camera.up,
+        scene.camera.fov, w, h, px, py, jnp.uint32(1), seed)
+    lambdas, seed = spec.sample_wavelengths(seed)
+    a = np.asarray(trace_radiance(scene, o, d, lambdas, seed, 3,
+                                  static=static, tile_m=8,
+                                  backward="none", wavefront=False))
+    b = np.asarray(trace_radiance(scene, o, d, lambdas, seed, 3,
+                                  static=static, tile_m=8,
+                                  backward="none", wavefront=True))
+    assert np.isfinite(a).all() and np.abs(a).max() > 0
+    np.testing.assert_array_equal(b, a)
+
+
+def test_wavefront_gradients_match_replay():
+    """Wavefront gradients route through the SAME taped guided replay;
+    the tapes differ only in don't-care entries (scans skipped by one
+    path's tile gating but masked off per-lane in both), so gradients
+    agree with the in-kernel-loop path to f32 fusion noise."""
+    import jax
+
+    from computeraytracer_tpu.kernels import meshpack
+    from computeraytracer_tpu.kernels.megakernel import SceneStatic
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+
+    w, h = 32, 16  # 512 rays -> 2 tiles at tile_m=2
+    scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=1))
+    static = SceneStatic.from_scene(scene, mesh_min=16)
+    assert static.mesh_parts
+    plans = tuple(meshpack.plan_scene_mesh(scene, part)
+                  for part in static.mesh_parts)
+
+    def loss(d1, sp, wavefront):
+        s = scene._replace(
+            primitives=scene.primitives._replace(data1=d1), spectra=sp)
+        return jnp.sum(pallas_tracer.render_sample(
+            s, w, h, 1, max_depth=2, static=static, mesh_plans=plans,
+            tile_m=2, wavefront=wavefront) ** 2)
+
+    d1 = jnp.asarray(scene.primitives.data1)
+    sp = jnp.asarray(scene.spectra)
+    g_mk = jax.grad(lambda a, b: loss(a, b, False), argnums=(0, 1))(d1, sp)
+    g_wf = jax.grad(lambda a, b: loss(a, b, True), argnums=(0, 1))(d1, sp)
+    for gw, gm in zip(g_wf, g_mk):
+        gw, gm = np.asarray(gw), np.asarray(gm)
+        assert np.isfinite(gw).all()
+        scale = max(np.abs(gm).max(), 1e-6)
+        np.testing.assert_allclose(gw / scale, gm / scale,
+                                   rtol=1e-4, atol=1e-5)
+    assert np.abs(np.asarray(g_wf[0])[6:]).max() > 0
+
+
 def test_mesh_scene_gradients_via_replay():
     """Mesh-part gradients flow through the taped guided replay
     (tracer/replay.py): vertex positions (data1) AND spectra both match
