@@ -338,8 +338,8 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape,
                     barrier: bool = False):
     """Stackless BVH traversal over Morton chunks of one mesh part.
 
-    reads = (tri_read, cbox_read, nbox_read, nmeta_read, n_nodes) per
-    kernels/meshpack.py. The DFS node array is walked with a skip-link
+    reads = (get_chunk, cbox_read, nbox_read, nmeta_read, n_nodes) per
+    _make_accessors. The DFS node array is walked with a skip-link
     while_loop: an inner node whose box ANY ray in the tile can still
     hit descends (+1); a miss or a leaf jumps to its `skip` slot. Leaf
     visits re-test each of their LEAF_CHUNKS chunk boxes (tighter) and
@@ -354,7 +354,7 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape,
     from computeraytracer_tpu.kernels import meshpack
     from computeraytracer_tpu.ops import intersect as isect
 
-    tri_read, cbox_read, nbox_read, nmeta_read, n_nodes = reads
+    get_chunk, cbox_read, nbox_read, nmeta_read, n_nodes = reads
     # per-ray watertight shear constants, fixed for the whole traversal
     wt = isect.watertight_setup(o, d)
 
@@ -394,9 +394,11 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape,
         hit_box = slab_any(cbox_read(k), t_best)
 
         def scan_chunk(carry):
+            row_read = get_chunk(k)  # streaming: DMA chunk k into VMEM
+
             def row_step(rr, carry):
                 t_best, idx_best, pos, nrm = carry
-                rowv = tri_read(k * meshpack.ROWS_PER_CHUNK + rr)  # (1,128)
+                rowv = row_read(rr)  # (1, 128)
                 for j in range(meshpack.TRIS_PER_ROW):
                     b = meshpack.LANES_PER_TRI * j
                     p0 = (rowv[0, b + 0], rowv[0, b + 1], rowv[0, b + 2])
@@ -819,14 +821,52 @@ def _unpack_nd(planes):
 
 ARRAYS_PER_PART = 4  # tri_rows, chunk_bbox, node_bbox, node_meta
 
+# Mesh parts beyond this many total triangles keep tri_rows in HBM and
+# DMA one chunk (16 rows = 8 KiB) into VMEM scratch per box-hit leaf
+# chunk, instead of pinning the whole array in VMEM. tri_rows costs
+# ~64 B/triangle: 400K tris ~ 26 MiB resident — comfortable; the
+# config-5 scale (~1.3M tris ~ 84 MiB) cannot be VMEM-resident at all
+# (BASELINE.json north star: "flattened node arrays in HBM"). The BVH
+# boxes/meta stay VMEM-resident at every scale (~40 KiB per 100K tris).
+STREAM_TRIS_ABOVE = 400_000
 
-def _make_accessors(parts, mesh_refs):
+
+def should_stream_tris(static: "SceneStatic") -> bool:
+    return sum(p.count for p in static.mesh_parts) > STREAM_TRIS_ABOVE
+
+
+def _make_accessors(parts, mesh_refs, tri_scratch=None, tri_sem=None):
+    """Build per-part read closures for _scan_mesh_part.
+
+    reads = (get_chunk, cbox_read, nbox_read, nmeta_read, n_nodes).
+    get_chunk(k) -> row_read(rr) yielding (1, 128) row rr of chunk k.
+    With tri_scratch/tri_sem set (HBM streaming), get_chunk issues a
+    blocking DMA of the chunk's 16 rows from the ANY-space tri_rows ref
+    into VMEM scratch and reads rows from there; it is only ever called
+    under the chunk-box-hit cond, so misses cost no bandwidth and
+    padded chunks (degenerate far boxes) are never fetched — which is
+    also what keeps the DMA in-bounds: tri_rows stores only REAL
+    chunks (meshpack.pack_from_plan), and every real chunk's box is
+    finite."""
+    from computeraytracer_tpu.kernels import meshpack
+
+    rpc = meshpack.ROWS_PER_CHUNK
     accessors = []
     for pi, part in enumerate(parts):
         tri_ref, cbox_ref, nbox_ref, nmeta_ref = \
             mesh_refs[ARRAYS_PER_PART * pi:ARRAYS_PER_PART * (pi + 1)]
+        if tri_scratch is None:
+            def get_chunk(k, _t=tri_ref):
+                return lambda rr, _t=_t, _k=k: _t[pl.ds(_k * rpc + rr, 1), :]
+        else:
+            def get_chunk(k, _t=tri_ref):
+                dma = pltpu.make_async_copy(
+                    _t.at[pl.ds(k * rpc, rpc), :], tri_scratch, tri_sem)
+                dma.start()
+                dma.wait()
+                return lambda rr: tri_scratch[pl.ds(rr, 1), :]
         reads = (
-            lambda r, _t=tri_ref: _t[pl.ds(r, 1), :],
+            get_chunk,
             lambda k, _b=cbox_ref: _b[pl.ds(k, 1), :],
             lambda nn, _b=nbox_ref: _b[pl.ds(nn, 1), :],
             lambda nn, _m=nmeta_ref: _m[pl.ds(nn, 1), :],
@@ -838,7 +878,7 @@ def _make_accessors(parts, mesh_refs):
 
 def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                   tile_m: int = DEFAULT_TILE_M, interpret: bool = False,
-                  taped: bool = False):
+                  taped: bool = False, stream_tris: bool | None = None):
     """Build the forward megakernel for a fixed scene structure.
 
     Returns f(prims_f (P,12) f32, rays (6,M,128), seeds (4,M,128) u32,
@@ -846,6 +886,11 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
     mesh_arrays is (tri_rows, chunk_bbox, node_bbox, node_meta) per
     SceneStatic.mesh_part (kernels/meshpack.py layout), replicated to
     every ray tile.
+
+    stream_tris=True keeps tri_rows in HBM (pl.ANY) and DMAs one chunk
+    into VMEM scratch per box-hit leaf chunk — the layout that scales
+    to ~1M-triangle scenes whose packed triangles exceed VMEM. None
+    resolves by total triangle count (should_stream_tris).
 
     taped=True additionally returns the per-bounce decision record for
     the guided-replay backward (tracer/replay.py):
@@ -865,8 +910,14 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                          barrier=interpret)
     parts = static.mesh_parts
     n_lights = max(1, len(static.light_rows))
+    if stream_tris is None:
+        stream_tris = should_stream_tris(static)
+    stream_tris = bool(stream_tris and parts)
 
     def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, *rest):
+        tri_scratch = tri_sem = None
+        if stream_tris:
+            rest, tri_scratch, tri_sem = rest[:-2], rest[-2], rest[-1]
         if taped:
             mesh_refs = rest[:-3]
             out_ref, tidx_ref, tsh_ref = rest[-3:]
@@ -875,7 +926,7 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         getp = lambda i, j: prims_ref[i, j]
         gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
                                  for j in range(4))
-        accessors = _make_accessors(parts, mesh_refs)
+        accessors = _make_accessors(parts, mesh_refs, tri_scratch, tri_sem)
         diff, nondiff = _init_carry(rays_ref, seeds_ref, shape)
         carry = _pack_diff(diff) + _pack_nd(nondiff)
 
@@ -916,8 +967,11 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         s4 = S * 4
         mesh_specs = []
         for _ in parts:
-            # whole arrays, same block for every tile (index_map const)
-            for _k in range(ARRAYS_PER_PART):
+            # boxes/meta: whole arrays, same block for every tile
+            # (index_map const). tri_rows: HBM-resident when streaming.
+            mesh_specs.append(pl.BlockSpec(
+                memory_space=pl.ANY if stream_tris else pltpu.VMEM))
+            for _k in range(ARRAYS_PER_PART - 1):
                 mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         out_specs = [pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
@@ -936,6 +990,12 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
                 jax.ShapeDtypeStruct((depth_n, n_lights, m, LANES),
                                      jnp.int32),
             ]
+        scratch = []
+        if stream_tris:
+            from computeraytracer_tpu.kernels import meshpack
+            scratch = [pltpu.VMEM((meshpack.ROWS_PER_CHUNK, LANES),
+                                  jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -951,6 +1011,7 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
             ],
             out_specs=out_specs if taped else out_specs[0],
             out_shape=out_shape if taped else out_shape[0],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(prims_f, rays, seeds, spect, *mesh_arrays)
         return out
@@ -965,7 +1026,8 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
 
 def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
                       tile_m: int = DEFAULT_TILE_M,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      stream_tris: bool | None = None):
     """One bounce as its own pallas_call (the wavefront path).
 
     The megakernel loops bounces inside one kernel, so a ray tile keeps
@@ -991,16 +1053,22 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
                          barrier=interpret)
     parts = static.mesh_parts
     n_lights = max(1, len(static.light_rows))
+    if stream_tris is None:
+        stream_tris = should_stream_tris(static)
+    stream_tris = bool(stream_tris and parts)
 
     def kernel(depth_ref, prims_ref, cf_ref, cu_ref, ci_ref, spect_ref,
                *rest):
+        tri_scratch = tri_sem = None
+        if stream_tris:
+            rest, tri_scratch, tri_sem = rest[:-2], rest[-2], rest[-1]
         mesh_refs = rest[:-5]
         cf_out, cu_out, ci_out, tidx_ref, tsh_ref = rest[-5:]
         depth = depth_ref[0, 0]
         getp = lambda i, j: prims_ref[i, j]
         gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
                                  for j in range(4))
-        accessors = _make_accessors(parts, mesh_refs)
+        accessors = _make_accessors(parts, mesh_refs, tri_scratch, tri_sem)
         carry = tuple(cf_ref[p] for p in range(N_DIFF)) + \
             tuple(cu_ref[k] for k in range(4)) + \
             tuple(ci_ref[k] for k in range(4))
@@ -1038,8 +1106,18 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
         tile = lambda k: pl.BlockSpec((k, tile_m, LANES),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
-        mesh_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
-                      for _ in range(ARRAYS_PER_PART * len(parts))]
+        mesh_specs = []
+        for _ in parts:
+            mesh_specs.append(pl.BlockSpec(
+                memory_space=pl.ANY if stream_tris else pltpu.VMEM))
+            for _k in range(ARRAYS_PER_PART - 1):
+                mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch = []
+        if stream_tris:
+            from computeraytracer_tpu.kernels import meshpack
+            scratch = [pltpu.VMEM((meshpack.ROWS_PER_CHUNK, LANES),
+                                  jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -1065,6 +1143,7 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
                 jax.ShapeDtypeStruct((m, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((n_lights, m, LANES), jnp.int32),
             ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(depth, prims_f, carry_f, carry_u, carry_i, spect, *mesh_arrays)
 

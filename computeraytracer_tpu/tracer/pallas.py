@@ -56,9 +56,9 @@ MESH_WAVEFRONT_DEFAULT = False
 
 @functools.lru_cache(maxsize=64)
 def _forward_cached(static, max_depth, rr_start, tile_m, interpret,
-                    taped=False):
+                    taped=False, stream_tris=None):
     return mk.build_forward(static, max_depth, rr_start, tile_m, interpret,
-                            taped=taped)
+                            taped=taped, stream_tris=stream_tris)
 
 
 @functools.lru_cache(maxsize=64)
@@ -67,9 +67,10 @@ def _backward_cached(static, max_depth, rr_start, tile_m, interpret):
 
 
 @functools.lru_cache(maxsize=64)
-def _bounce_step_cached(static, max_depth, rr_start, tile_m, interpret):
+def _bounce_step_cached(static, max_depth, rr_start, tile_m, interpret,
+                       stream_tris=None):
     return mk.build_bounce_step(static, max_depth, rr_start, tile_m,
-                                interpret)
+                                interpret, stream_tris=stream_tris)
 
 
 def _use_interpret() -> bool:
@@ -290,7 +291,8 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                    rr_start: int = 1, tile_m: int | None = None,
                    static: SceneStatic | None = None,
                    backward: str = "pallas", mesh_packs=None,
-                   mesh_plans=None, wavefront: bool | None = None):
+                   mesh_plans=None, wavefront: bool | None = None,
+                   stream_tris: bool | None = None):
     """Pallas path-trace: (R,3) rays -> (R,4) spectral radiance.
 
     Differentiable w.r.t. scene geometry/spectra and the rays (o, d).
@@ -311,6 +313,12 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     wavefront=None resolves to MESH_WAVEFRONT_DEFAULT for mesh scenes;
     non-mesh scenes ignore the flag (the unrolled scan has no
     coherence-dependent culling to help).
+
+    stream_tris=True keeps the packed triangle rows in HBM and DMAs
+    box-hit chunks into VMEM scratch inside the kernel (the layout for
+    ~1M-triangle scenes; see megakernel.should_stream_tris). None
+    resolves by total triangle count. Results are bit-identical either
+    way — only the residency of tri_rows changes.
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
@@ -375,19 +383,21 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
         cats = jnp.asarray(scene.primitives.category, jnp.int32)
         if wavefront:
             step_fn = _bounce_step_cached(static, int(max_depth),
-                                          int(rr_start), tile_m, interpret)
+                                          int(rr_start), tile_m, interpret,
+                                          stream_tris)
             out = _mesh_call_wf(step_fn, static, int(max_depth),
                                 int(rr_start), mk.pack_prims(scene), rays,
                                 seeds, spect_p, cats, mesh_arrays)
         else:
             fwd_t = _forward_cached(static, int(max_depth), int(rr_start),
-                                    tile_m, interpret, True)
+                                    tile_m, interpret, True, stream_tris)
             out = _mesh_call(fwd_t, static, int(max_depth), int(rr_start),
                              mk.pack_prims(scene), rays, seeds, spect_p,
                              cats, mesh_arrays)
     elif wavefront and backward == "none":
         step_fn = _bounce_step_cached(static, int(max_depth),
-                                      int(rr_start), tile_m, interpret)
+                                      int(rr_start), tile_m, interpret,
+                                      stream_tris)
         prims_u = mk.pack_prims(scene, static)
         out, _, _ = _wavefront_forward(step_fn, static, int(max_depth),
                                        prims_u, rays, seeds, spect_p,
@@ -401,7 +411,7 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                              seeds, spect_p)
     else:
         fwd = _forward_cached(static, int(max_depth), int(rr_start),
-                              tile_m, interpret)
+                              tile_m, interpret, False, stream_tris)
         out = fwd(mk.pack_prims(scene, static), rays, seeds, spect_p,
                   *mesh_arrays)
     return out.reshape(4, r_pad)[:, :r].T  # (R, 4)
@@ -412,7 +422,8 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
                   static: SceneStatic | None = None,
                   backward: str = "pallas", mesh_packs=None,
                   tile_m: int | None = None, mesh_plans=None,
-                  wavefront: bool | None = None):
+                  wavefront: bool | None = None,
+                  stream_tris: bool | None = None):
     """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
 
     With backward="pallas" (default) this is a plain differentiable
@@ -438,7 +449,8 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
                                   backward=backward,
                                   mesh_packs=mesh_packs,
                                   mesh_plans=mesh_plans,
-                                  wavefront=wavefront)
+                                  wavefront=wavefront,
+                                  stream_tris=stream_tris)
         return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
 
     if backward != "xla":
@@ -504,7 +516,8 @@ def render_sample(scene, width: int, height: int, sample,
                   static: SceneStatic | None = None,
                   backward: str = "pallas", mesh_packs=None,
                   tile_m: int | None = None, mesh_plans=None,
-                  wavefront: bool | None = None, **_):
+                  wavefront: bool | None = None,
+                  stream_tris: bool | None = None, **_):
     if static is None:
         static = SceneStatic.from_scene(scene)
     if static.mesh_parts and mesh_packs is None and mesh_plans is None:
@@ -520,7 +533,8 @@ def render_sample(scene, width: int, height: int, sample,
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
                         rr_start, static=static, backward=backward,
                         mesh_packs=mesh_packs, tile_m=tile_m,
-                        mesh_plans=mesh_plans, wavefront=wavefront)
+                        mesh_plans=mesh_plans, wavefront=wavefront,
+                        stream_tris=stream_tris)
     if order is not None:
         xyz = jnp.take(xyz, inv, axis=0)
     return xyz.reshape(height, width, 3)

@@ -109,3 +109,74 @@ def test_empty_padding_boxes_are_far():
     if cbox.shape[0] > n_real:
         assert (cbox[n_real:, 0:3] >= meshpack.BIG / 2).all()
         assert (cbox[n_real:, 3:6] >= meshpack.BIG / 2).all()
+
+
+def test_streamed_tris_bitexact():
+    """stream_tris=True (tri_rows in HBM, per-chunk DMA into VMEM
+    scratch — megakernel._make_accessors) changes only the residency of
+    the triangle array: radiance is bit-identical to the VMEM-resident
+    layout, for both the in-kernel bounce loop and the wavefront path."""
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    scene, _ = scene_from_dict(presets.mesh_scene(64, 32, subdivisions=2))
+    static = pt.SceneStatic.from_scene(scene, mesh_min=64)
+    assert static.mesh_parts
+    base = np.asarray(pt.render_sample(scene, 64, 32, 1, max_depth=3,
+                                       static=static, stream_tris=False))
+    assert np.isfinite(base).all() and base.max() > 0
+    for wavefront in (False, True):
+        got = np.asarray(pt.render_sample(
+            scene, 64, 32, 1, max_depth=3, static=static,
+            stream_tris=True, wavefront=wavefront))
+        np.testing.assert_array_equal(got, base)
+
+
+def test_streamed_gradients_match_resident():
+    """The taped guided replay is oblivious to tri_rows residency:
+    gradients through the streamed forward equal the resident ones."""
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    w, h = 32, 16
+    scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=1))
+    static = pt.SceneStatic.from_scene(scene, mesh_min=16)
+    assert static.mesh_parts
+    plans = tuple(meshpack.plan_scene_mesh(scene, part)
+                  for part in static.mesh_parts)
+
+    def loss(d1, stream):
+        s = scene._replace(
+            primitives=scene.primitives._replace(data1=d1))
+        return jnp.sum(pt.render_sample(
+            s, w, h, 1, max_depth=2, static=static, mesh_plans=plans,
+            tile_m=2, stream_tris=stream) ** 2)
+
+    d1 = jnp.asarray(scene.primitives.data1)
+    g_res = np.asarray(jax.grad(lambda a: loss(a, False))(d1))
+    g_str = np.asarray(jax.grad(lambda a: loss(a, True))(d1))
+    assert np.isfinite(g_str).all() and np.abs(g_res).max() > 0
+    np.testing.assert_array_equal(g_str, g_res)
+
+
+@pytest.mark.slow
+def test_streaming_scales_to_config5_mesh():
+    """North-star scale (BASELINE.json config 5, ~1.3M tris): tri_rows
+    (~80 MiB — past any whole-array VMEM residency) auto-streams from
+    HBM (megakernel.should_stream_tris) and a forward render completes
+    in interpret mode. Reference analogue at scale:
+    /root/reference/src/shaders/ComputeShader.wgsl:503-518."""
+    from computeraytracer_tpu.kernels import megakernel as mk
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    scene, _ = scene_from_dict(presets.mesh_scene(64, 32, subdivisions=8))
+    assert int(scene.primitives.category.shape[0]) > 1_300_000
+    static = pt.SceneStatic.from_scene(scene)
+    assert mk.should_stream_tris(static)
+    packs = pt.mesh_packs_for(scene, static)
+    assert packs[0].tri_rows.size * 4 > 64 * 2**20
+    img = np.asarray(pt.render_sample(scene, 64, 32, 1, max_depth=1,
+                                      static=static, mesh_packs=packs,
+                                      tile_m=8))
+    assert np.isfinite(img).all() and img.max() > 0
