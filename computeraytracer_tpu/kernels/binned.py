@@ -1,0 +1,573 @@
+"""Binned mesh intersection: the TPU shape of incoherent ray casts.
+
+Why this exists. The megakernel's chunk-BVH culls at RAY-TILE
+granularity: a (8, 128)-lane tile enters a box when ANY of its 1024
+rays can hit it. That is near-optimal for camera rays (measured 19 of
+640 chunks per tile at 256^2) but collapses after one diffuse bounce:
+sorted post-bounce tiles still enter ~92 chunks/tile while the rays
+individually average ~2 (measured, benchmarks/mesh_diag.py heritage) —
+a ~50x overshoot that made mesh bounces ~450 ms each on v5e. Per-ray
+BVH traversal is no answer on TPU (per-lane gathers, ~0.002 Mpaths/s
+through XLA). The TPU answer is to make the irregular traversal DENSE:
+
+  1. candidate pass (XLA): slab-test every ray against every chunk
+     AABB as pure vector math, blocked over chunks, keeping each ray's
+     K nearest candidate chunks by entry distance. Selection is K
+     rounds of masked argmin — NOT jax.lax.top_k and NOT any sort;
+     both measured catastrophically slow on v5e (~350 ms / ~190 ms for
+     this problem size, more than the whole cast should cost).
+  2. pair pass (Pallas): (ray, candidate-slot) pairs in ray-major
+     order — film-order rays are spatially coherent, so a (8, 128)
+     pair tile touches few distinct chunks. The kernel repeatedly
+     scans the smallest unprocessed chunk id in the tile: 128
+     triangles broadcast against 1024 pair lanes, full occupancy.
+  3. reduce (XLA): fold each ray's K slots with the kernel's exact
+     tie rule -> per-ray closest mesh hit.
+
+Soundness. A ray with more than K candidate chunks is "unresolved"
+unless its found hit provably precedes every omitted chunk
+(t_hit <= t_enter of the first omitted candidate). Unresolved rays
+(<1% measured) are COMPACTED and finished by the exact tree-walk
+kernel (megakernel._scan_mesh_part) seeded with the binned winner;
+an overflow of the compaction budget falls back to the seeded walk
+over every tile (sound, never observed). Every triangle test reuses
+ops/intersect.py's watertight formulas with the same op order as the
+in-kernel scan, so winners (t, id, normal) are bit-identical and the
+taped-replay backward (tracer/replay.py) is oblivious to which path
+produced the tape.
+
+Reference analogue: the per-ray `intersect` linear scan of
+/root/reference/src/shaders/ComputeShader.wgsl:503-518, restructured
+as sort + dense batches for a machine with no divergence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from computeraytracer_tpu.kernels import megakernel as mk
+from computeraytracer_tpu.kernels import meshpack
+
+LANES = mk.LANES
+T_MIN = mk.T_MIN
+DEFAULT_K = 16        # candidate chunks per ray (slots; padded with -1)
+CAND_BLOCK = 512      # chunks slab-tested per top-K merge round
+PAIR_TILE_M = 8       # (8, 128) = 1024 pairs per pair-kernel grid step
+
+
+def _slab_t_enter(cbox_blk, o, d, t_bound):
+    """Entry distance of each ray into each chunk AABB, +inf on miss.
+
+    cbox_blk (B, 8) f32 [lo.xyz, hi.xyz, pad, pad]; o, d (R, 3);
+    t_bound (R,). Mirrors megakernel._scan_mesh_part.slab_any per-lane
+    (same Ize-2013 4-ulp interval padding, same degenerate-box and
+    axis-parallel handling) so the candidate set is a superset of every
+    chunk the in-kernel walk would scan for that ray. Returns (R, B).
+    """
+    tiny = jnp.abs(d) < 1e-12
+    sign = jnp.where(d < 0.0, -1.0, 1.0)
+    inv_d = jnp.where(tiny, sign * jnp.float32(1e30),
+                      1.0 / jnp.where(tiny, 1.0, d))          # (R, 3)
+    lo = cbox_blk[None, :, 0:3]                                # (1, B, 3)
+    hi = cbox_blk[None, :, 3:6]
+    t0 = (lo - o[:, None, :]) * inv_d[:, None, :]              # (R, B, 3)
+    t1 = (hi - o[:, None, :]) * inv_d[:, None, :]
+    t_enter = jnp.minimum(t0, t1).max(-1)
+    t_exit = jnp.maximum(t0, t1).min(-1)
+    pad = jnp.float32(4 * 2.0 ** -23)
+    t_exit = t_exit + jnp.abs(t_exit) * pad
+    t_enter_p = t_enter - jnp.abs(t_enter) * pad
+    ok = ((t_enter_p <= t_exit) & (t_exit >= T_MIN)
+          & (t_enter_p <= t_bound[:, None]) & (t_enter_p < jnp.inf))
+    return jnp.where(ok, t_enter_p, jnp.inf)
+
+
+def candidate_chunks(chunk_bbox, o, d, t_bound=None, k: int = DEFAULT_K):
+    """K nearest candidate chunks per ray, by AABB entry distance.
+
+    chunk_bbox (C, 8) f32; o, d (R, 3) f32; t_bound (R,) optional cull
+    bound (padded by 8 ulp internally so a bound from differently-
+    rounded arithmetic can never drop the true winner's chunk).
+
+    No jax.lax.top_k / sort anywhere: both measured catastrophically
+    slow on TPU (~350 ms for a (65K, 529) top-17; ~190 ms for a 1M-key
+    argsort). Selection is k rounds of masked argmin over the dense
+    entry-distance matrix — pure VPU reduce/select work. Blocks over
+    chunks (CAND_BLOCK) bound the materialized matrix at config-5 C.
+
+    Returns (cand (R, k) i32 chunk ids with -1 padding — the k smallest
+    t_enter, internal order arbitrary; t_next (R,) f32 entry distance
+    of the first OMITTED candidate, +inf when every candidate fit).
+    A found hit with t <= t_next is provably the global winner, and a
+    total miss with t_next == +inf is provably a miss.
+    """
+    R = o.shape[0]
+    C = chunk_bbox.shape[0]
+    if t_bound is None:
+        t_bound = jnp.full((R,), jnp.inf, jnp.float32)
+    else:
+        t_bound = t_bound + jnp.abs(t_bound) * jnp.float32(8 * 2.0 ** -23)
+
+    def extract_k(te, ids, kk):
+        """kk rounds of masked argmin over (R, B): smallest-kk entries.
+        Returns (t (R, kk), id (R, kk), te' with winners masked out)."""
+        outs_t, outs_i = [], []
+        for _ in range(kk):
+            j = jnp.argmin(te, axis=1)                       # (R,)
+            tj = jnp.take_along_axis(te, j[:, None], axis=1)[:, 0]
+            ij = jnp.take_along_axis(ids, j[:, None], axis=1)[:, 0]
+            outs_t.append(tj)
+            outs_i.append(jnp.where(jnp.isfinite(tj), ij, -1))
+            te = jnp.where(
+                jnp.arange(te.shape[1])[None, :] == j[:, None],
+                jnp.inf, te)
+        return jnp.stack(outs_t, 1), jnp.stack(outs_i, 1), te
+
+    if C <= CAND_BLOCK:
+        te = _slab_t_enter(chunk_bbox, o, d, t_bound)         # (R, C)
+        ids = jnp.broadcast_to(
+            jnp.arange(C, dtype=jnp.int32)[None, :], te.shape)
+        t_k, i_k, te_rest = extract_k(te, ids, k)
+        t_next = jnp.min(te_rest, axis=1)
+        return i_k, t_next
+
+    # blocked: maintain the running k best + the best omitted distance
+    n_blocks = -(-C // CAND_BLOCK)
+    c_pad = n_blocks * CAND_BLOCK
+    cbox = jnp.zeros((c_pad, 8), jnp.float32).at[:, 0:6].set(meshpack.BIG)
+    cbox = cbox.at[:C].set(chunk_bbox)
+    best_t = jnp.full((R, k), jnp.inf, jnp.float32)
+    best_c = jnp.full((R, k), -1, jnp.int32)
+    t_next = jnp.full((R,), jnp.inf, jnp.float32)
+
+    def block(i, carry):
+        best_t, best_c, t_next = carry
+        blk = jax.lax.dynamic_slice(cbox, (i * CAND_BLOCK, 0),
+                                    (CAND_BLOCK, 8))
+        te = _slab_t_enter(blk, o, d, t_bound)               # (R, B)
+        ids = i * CAND_BLOCK + jnp.arange(CAND_BLOCK, dtype=jnp.int32)
+        ids = jnp.broadcast_to(ids[None, :], te.shape)
+        all_t = jnp.concatenate([best_t, te], axis=1)
+        all_i = jnp.concatenate([best_c, ids], axis=1)
+        t_k, i_k, te_rest = extract_k(all_t, all_i, k)
+        return t_k, i_k, jnp.minimum(t_next, jnp.min(te_rest, axis=1))
+
+    best_t, best_c, t_next = jax.lax.fori_loop(
+        0, n_blocks, block, (best_t, best_c, t_next))
+    return best_c, t_next
+
+
+@functools.lru_cache(maxsize=32)
+def build_pair_kernel(n_rows: int, interpret: bool = False,
+                      stream_tris: bool = False,
+                      tile_m: int = PAIR_TILE_M):
+    """Pallas kernel: closest-hit of each (ray, chunk) pair.
+
+    f(pair_f (7, Mp, 128) f32 [o.xyz, d.xyz, t_bound-unused],
+      pair_i (2, Mp, 128) i32 [chunk_id (sorted ascending, -1 dead),
+                               exclude],
+      tri_rows (n_rows, 128) f32)
+      -> (out_f (4, Mp, 128) f32 [t, n.xyz], out_i (1, Mp, 128) i32).
+
+    Per grid step: repeatedly pick the smallest unprocessed chunk id in
+    the tile (pairs are chunk-sorted, so usually one per tile), scan its
+    128 triangles against all 1024 lanes with per-lane (chunk == c)
+    masking, update per-lane winners with the in-kernel tie rule
+    ((t < best) | (t == best & id > best_id)). Triangle math is
+    megakernel._scan_mesh_part's, op for op — winners bit-match.
+    """
+    from computeraytracer_tpu.ops import intersect as isect
+
+    shape = (tile_m, LANES)
+    rpc = meshpack.ROWS_PER_CHUNK
+    BIG_I = 2 ** 30  # "processed / dead" chunk id sentinel (python int:
+    #                  a jnp scalar here would be a captured constant)
+
+    def kernel(pf_ref, pi_ref, tri_ref, of_ref, oi_ref, *scratch):
+        big_i = jnp.int32(BIG_I)
+        o = tuple(pf_ref[i] for i in range(3))
+        d = tuple(pf_ref[3 + i] for i in range(3))
+        chunk = pi_ref[0]
+        exclude = pi_ref[1]
+        wt = isect.watertight_setup(o, d)
+
+        t_best = jnp.full(shape, jnp.inf, jnp.float32)
+        idx_best = jnp.full(shape, -1, jnp.int32)
+        zero = jnp.zeros(shape, jnp.float32)
+        nrm = (zero, zero, zero)
+
+        todo = jnp.where(chunk >= 0, chunk, big_i)
+
+        def row_read_for(c):
+            if stream_tris:
+                tri_scratch, tri_sem = scratch
+                dma = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(c * rpc, rpc), :], tri_scratch,
+                    tri_sem)
+                dma.start()
+                dma.wait()
+                return lambda rr: tri_scratch[pl.ds(rr, 1), :]
+            return lambda rr: tri_ref[pl.ds(c * rpc + rr, 1), :]
+
+        def cond(carry):
+            return carry[0] < big_i
+
+        def body(carry):
+            _, todo, t_best, idx_best, n0_, n1_, n2_ = carry
+            nrm = (n0_, n1_, n2_)
+            c = jnp.min(todo)
+            sel = todo == c
+            row_read = row_read_for(c)
+
+            def row_step(rr, carry):
+                t_best, idx_best, nrm = carry
+                rowv = row_read(rr)
+                for j in range(meshpack.TRIS_PER_ROW):
+                    b = meshpack.LANES_PER_TRI * j
+                    p0 = (rowv[0, b + 0], rowv[0, b + 1], rowv[0, b + 2])
+                    v1 = (rowv[0, b + 3], rowv[0, b + 4], rowv[0, b + 5])
+                    v2 = (rowv[0, b + 6], rowv[0, b + 7], rowv[0, b + 8])
+                    tid = rowv[0, b + 9].astype(jnp.int32)
+                    # mirror _scan_mesh_part's triangle branch exactly
+                    e1 = mk._vsub(v1, p0)
+                    e2 = mk._vsub(v2, p0)
+                    n_raw = mk._scalar_cross(e1, e2)
+                    n_len2 = (n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1]
+                              + n_raw[2] * n_raw[2])
+                    inv_len = 1.0 / jnp.sqrt(jnp.maximum(n_len2, 1e-30))
+                    n0 = (n_raw[0] * inv_len, n_raw[1] * inv_len,
+                          n_raw[2] * inv_len)
+                    ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
+                    flip = ndotd > 0.0
+                    grazing = jnp.abs(
+                        jnp.where(flip, -ndotd, ndotd)) < 1e-4
+                    num = (n0[0] * (p0[0] - o[0]) + n0[1] * (p0[1] - o[1])
+                           + n0[2] * (p0[2] - o[2]))
+                    t = num / jnp.where(grazing, 1.0, ndotd)
+                    inside = isect.watertight_inside(wt, p0, v1, v2,
+                                                     barrier=interpret)
+                    valid = (sel & (exclude != tid) & (tid >= 0)
+                             & ~grazing & inside & (t >= T_MIN)
+                             & ((t < t_best)
+                                | ((t == t_best) & (tid > idx_best))))
+                    sgn = jnp.where(flip, -1.0, 1.0)
+                    t_best = jnp.where(valid, t, t_best)
+                    idx_best = jnp.where(valid, tid, idx_best)
+                    nrm = mk._vwhere(valid, (sgn * n0[0], sgn * n0[1],
+                                             sgn * n0[2]), nrm)
+                return t_best, idx_best, nrm
+
+            t_best, idx_best, nrm = jax.lax.fori_loop(
+                0, rpc, row_step, (t_best, idx_best, nrm))
+            todo = jnp.where(sel, big_i, todo)
+            return (jnp.min(todo), todo, t_best, idx_best) + nrm
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.min(todo), todo, t_best, idx_best) + nrm)
+        _, _, t_best, idx_best, n0_, n1_, n2_ = out
+        of_ref[0] = t_best
+        of_ref[1] = n0_
+        of_ref[2] = n1_
+        of_ref[3] = n2_
+        oi_ref[0] = idx_best
+
+    @jax.jit
+    def pair_intersect(pair_f, pair_i, tri_rows):
+        mp = pair_f.shape[1]
+        grid = (mp // tile_m,)
+        tile = lambda kk: pl.BlockSpec((kk, tile_m, LANES),
+                                       lambda i: (0, i, 0),
+                                       memory_space=pltpu.VMEM)
+        scratch = []
+        if stream_tris:
+            scratch = [pltpu.VMEM((rpc, LANES), jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                tile(7), tile(2),
+                pl.BlockSpec(
+                    memory_space=pl.ANY if stream_tris else pltpu.VMEM),
+            ],
+            out_specs=[tile(4), tile(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((4, mp, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, mp, LANES), jnp.int32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(pair_f, pair_i, tri_rows)
+
+    return pair_intersect
+
+
+def _merge_tie(t_a, i_a, n_a, t_b, i_b, n_b):
+    """Fold winner b into winner a with the kernel's exact tie rule."""
+    take = (t_b < t_a) | ((t_b == t_a) & (i_b > i_a))
+    t = jnp.where(take, t_b, t_a)
+    i = jnp.where(take, i_b, i_a)
+    n = tuple(jnp.where(take, nb, na) for na, nb in zip(n_a, n_b))
+    return t, i, n
+
+
+def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
+                k: int = DEFAULT_K, interpret: bool = False,
+                stream_tris: bool = False, active=None):
+    """Closest mesh hit per ray for ONE mesh part, binned-dense.
+
+    pack_arrays = (tri_rows, chunk_bbox, node_bbox, node_meta) per
+    kernels/meshpack.py (node arrays unused here — the tree is the
+    TILE path's structure; the binned path culls directly at chunk
+    granularity). o, d (R, 3) f32, exclude (R,) i32; active (R,) bool
+    masks rays that need no cast (their candidate set is emptied).
+
+    Returns (t (R,), idx (R,), nrm (R, 3), resolved (R,) bool). Rays
+    with resolved=False found a hit but cannot prove it global (more
+    than k candidate chunks and the hit does not precede the first
+    omitted one) — the caller must finish them on the exact tree-walk
+    path.
+    """
+    tri_rows, chunk_bbox = pack_arrays[0], pack_arrays[1]
+    R = o.shape[0]
+    cand, t_next = candidate_chunks(chunk_bbox, o, d, t_bound, k)
+    if active is not None:
+        cand = jnp.where(active[:, None], cand, -1)
+
+    # pairs stay in RAY-MAJOR order — no sort. Film-order rays are
+    # spatially coherent (neighbors share candidate chunks), so a pair
+    # tile's distinct-chunk count stays small without the 1M-key
+    # argsort a chunk-major grouping would need (~190 ms on v5e, more
+    # than the whole cast is worth). The pair kernel's min-scan loop
+    # handles whatever diversity remains.
+    P = R * k
+    tile = PAIR_TILE_M * LANES
+    p_pad = -(-P // tile) * tile
+    mp = p_pad // LANES
+
+    def plane3(x):
+        # (R, 3) ray columns -> 3 planes of (mp, LANES), k-replicated
+        cols = []
+        for c in range(3):
+            v = jnp.broadcast_to(x[:, c:c + 1], (R, k)).reshape(P)
+            if p_pad != P:
+                v = jnp.zeros((p_pad,), v.dtype).at[:P].set(v)
+            cols.append(v.reshape(mp, LANES))
+        return cols
+
+    def plane1(v, fill):
+        if p_pad != P:
+            v = jnp.full((p_pad,), fill, v.dtype).at[:P].set(v)
+        return v.reshape(mp, LANES)
+
+    ex_p = jnp.broadcast_to(exclude[:, None], (R, k)).reshape(P)
+    pair_f = jnp.stack(plane3(o) + plane3(d)
+                       + [jnp.zeros((mp, LANES), jnp.float32)])
+    pair_i = jnp.stack([plane1(cand.reshape(P), -1),
+                        plane1(ex_p.astype(jnp.int32), -1)])
+
+    f = build_pair_kernel(int(tri_rows.shape[0]), interpret, stream_tris)
+    out_f, out_i = f(pair_f, pair_i, tri_rows)
+
+    # reduce the k slots per ray with the exact tie rule (no unsort
+    # needed: pairs never left (ray, slot) order)
+    t_rk = out_f[0].reshape(p_pad)[:P].reshape(R, k)
+    i_rk = out_i[0].reshape(p_pad)[:P].reshape(R, k)
+    n_rk = [out_f[1 + c].reshape(p_pad)[:P].reshape(R, k)
+            for c in range(3)]
+
+    t_w = jnp.full((R,), jnp.inf, jnp.float32)
+    i_w = jnp.full((R,), -1, jnp.int32)
+    n_w = (jnp.zeros((R,), jnp.float32),) * 3
+    for s in range(k):
+        t_w, i_w, n_w = _merge_tie(
+            t_w, i_w, n_w, t_rk[:, s], i_rk[:, s],
+            tuple(n_rk[c][:, s] for c in range(3)))
+    resolved = jnp.where(jnp.isfinite(t_next), t_w <= t_next, True)
+    return t_w, i_w, jnp.stack(n_w, axis=-1), resolved
+
+
+@functools.lru_cache(maxsize=32)
+def build_walk_kernel(static, tile_m: int = PAIR_TILE_M,
+                      interpret: bool = False,
+                      stream_tris: bool | None = None):
+    """Exact tree-walk closest-hit over the mesh parts, seeded with a
+    prior winner — the soundness fallback for unresolved binned rays.
+
+    f(rays (6, M, 128) f32, seed_f (4, M, 128) f32 [t, n.xyz],
+      seed_i (2, M, 128) i32 [idx, exclude], *mesh_arrays)
+      -> (out_f (4, M, 128) [t, n.xyz], out_i (1, M, 128) [idx]).
+
+    Re-testing the seeded winner is a no-op under the tie rule, so
+    running this over already-resolved lanes cannot change them.
+    """
+    shape = (tile_m, LANES)
+    parts = static.mesh_parts
+    if stream_tris is None:
+        stream_tris = mk.should_stream_tris(static)
+
+    def kernel(rays_ref, sf_ref, si_ref, *rest):
+        tri_scratch = tri_sem = None
+        if stream_tris:
+            rest, tri_scratch, tri_sem = rest[:-2], rest[-2], rest[-1]
+        mesh_refs = rest[:-2]
+        of_ref, oi_ref = rest[-2:]
+        o = tuple(rays_ref[i] for i in range(3))
+        d = tuple(rays_ref[3 + i] for i in range(3))
+        zero = jnp.zeros(shape, jnp.float32)
+        state = {
+            "t": sf_ref[0],
+            "idx": si_ref[0],
+            "pos": (zero, zero, zero),       # recomputed by the caller
+            "nrm": (sf_ref[1], sf_ref[2], sf_ref[3]),
+        }
+        exclude = si_ref[1]
+        accessors = mk._make_accessors(parts, mesh_refs, tri_scratch,
+                                       tri_sem)
+        for part, reads in accessors:
+            state = mk._scan_mesh_part(part, reads, o, d, exclude, state,
+                                       shape, barrier=interpret)
+        of_ref[0] = state["t"]
+        of_ref[1] = state["nrm"][0]
+        of_ref[2] = state["nrm"][1]
+        of_ref[3] = state["nrm"][2]
+        oi_ref[0] = state["idx"]
+
+    @jax.jit
+    def walk(rays, seed_f, seed_i, *mesh_arrays):
+        m = rays.shape[1]
+        grid = (m // tile_m,)
+        tile = lambda kk: pl.BlockSpec((kk, tile_m, LANES),
+                                       lambda i: (0, i, 0),
+                                       memory_space=pltpu.VMEM)
+        mesh_specs = []
+        for _ in parts:
+            mesh_specs.append(pl.BlockSpec(
+                memory_space=pl.ANY if stream_tris else pltpu.VMEM))
+            for _k in range(mk.ARRAYS_PER_PART - 1):
+                mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch = []
+        if stream_tris:
+            scratch = [pltpu.VMEM((meshpack.ROWS_PER_CHUNK, LANES),
+                                  jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tile(6), tile(4), tile(2), *mesh_specs],
+            out_specs=[tile(4), tile(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((4, m, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, m, LANES), jnp.int32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(rays, seed_f, seed_i, *mesh_arrays)
+
+    return walk
+
+
+def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
+                     k: int = DEFAULT_K, interpret: bool = False,
+                     active=None):
+    """Closest mesh hit per ray across ALL mesh parts, with the exact
+    tree-walk fallback for unresolved rays.
+
+    o, d (R, 3); exclude (R,) i32; t_bound (R,) optional. Returns
+    (t (R,), idx (R,), nrm (R, 3)) bit-matching what the in-kernel
+    _scan_mesh_part walk would produce from an empty initial state.
+
+    Unresolved rays (<1% measured on camera and bounce populations) are
+    COMPACTED into at most U_MAX slots before the fallback walk — a
+    scattered unresolved lane would otherwise drag its whole ray tile
+    through the tree at tile-ANY granularity, which is the exact cost
+    this module exists to avoid. If more than U_MAX rays are unresolved
+    (never observed; k would have to be badly undersized), the full
+    seeded walk runs over every tile instead — slow but exact.
+    """
+    stream = mk.should_stream_tris(static)
+    R = o.shape[0]
+    t_w = jnp.full((R,), jnp.inf, jnp.float32)
+    i_w = jnp.full((R,), -1, jnp.int32)
+    n_w = (jnp.zeros((R,), jnp.float32),) * 3
+    resolved = jnp.ones((R,), bool)
+    for pi, part in enumerate(static.mesh_parts):
+        arrs = mesh_arrays[mk.ARRAYS_PER_PART * pi:
+                           mk.ARRAYS_PER_PART * (pi + 1)]
+        t_p, i_p, n_p, res = mesh_winner(
+            arrs, o, d, exclude, t_bound, k, interpret, stream, active)
+        t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p,
+                                   (n_p[:, 0], n_p[:, 1], n_p[:, 2]))
+        resolved = resolved & res
+
+    tile = PAIR_TILE_M * LANES
+    u_max = tile * max(1, R // (16 * tile))
+    unres = ~resolved
+    n_unres = jnp.sum(unres)
+    walk = build_walk_kernel(static, PAIR_TILE_M, interpret)
+
+    def planes_of(cols, dtype, n, m):
+        x = jnp.stack(cols, axis=0).astype(dtype)
+        if m * LANES != n:
+            x = jnp.zeros((x.shape[0], m * LANES), dtype)                 .at[:, :n].set(x)
+        return x.reshape(x.shape[0], m, LANES)
+
+    def walk_full(args):
+        """Seeded walk over every film tile (the always-sound path)."""
+        t_w, i_w, n0_, n1_, n2_ = args
+        r_pad = -(-R // tile) * tile
+        m = r_pad // LANES
+        rays_p = planes_of([o[:, 0], o[:, 1], o[:, 2],
+                            d[:, 0], d[:, 1], d[:, 2]], jnp.float32,
+                           R, m)
+        sf = planes_of([t_w, n0_, n1_, n2_], jnp.float32, R, m)
+        si = planes_of([i_w, exclude], jnp.int32, R, m)
+        of, oi = walk(rays_p, sf, si, *mesh_arrays)
+        flat = lambda a, kk: a[kk].reshape(r_pad)[:R]
+        return (flat(of, 0), flat(oi, 0).astype(jnp.int32),
+                flat(of, 1), flat(of, 2), flat(of, 3))
+
+    def walk_compact(args):
+        """Gather unresolved rays into u_max slots, walk those tiles,
+        scatter the results back. Empty slots carry t_best = -inf so
+        the walk's slab culls reject every box for them."""
+        t_w, i_w, n0_, n1_, n2_ = args
+        (idxs,) = jnp.nonzero(unres, size=u_max, fill_value=0)
+        valid = jnp.arange(u_max) < n_unres
+        g = lambda a: jnp.take(a, idxs, axis=0)
+        m = u_max // LANES
+        rays_p = planes_of([g(o[:, 0]), g(o[:, 1]), g(o[:, 2]),
+                            g(d[:, 0]), g(d[:, 1]), g(d[:, 2])],
+                           jnp.float32, u_max, m)
+        seed_t = jnp.where(valid, g(t_w), -jnp.inf)
+        sf = planes_of([seed_t, g(n0_), g(n1_), g(n2_)], jnp.float32,
+                       u_max, m)
+        si = planes_of([jnp.where(valid, g(i_w), -1), g(exclude)],
+                       jnp.int32, u_max, m)
+        of, oi = walk(rays_p, sf, si, *mesh_arrays)
+        flat = lambda a, kk: a[kk].reshape(u_max)
+        # masked scatter-back: invalid slots route to a discard row
+        tgt = jnp.where(valid, idxs, R)
+        upd = lambda base, vals: jnp.zeros((R + 1,), base.dtype)             .at[:R].set(base).at[tgt].set(
+                jnp.where(valid, vals, jnp.zeros_like(vals)))[:R]
+        # where(valid, ...) above only sanitizes the discard row; valid
+        # rows write the walk's exact outputs
+        t2 = upd(t_w, flat(of, 0))
+        i2 = upd(i_w, flat(oi, 0).astype(jnp.int32))
+        n02 = upd(n0_, flat(of, 1))
+        n12 = upd(n1_, flat(of, 2))
+        n22 = upd(n2_, flat(of, 3))
+        return t2, i2, n02, n12, n22
+
+    args = (t_w, i_w, n_w[0], n_w[1], n_w[2])
+    t_w, i_w, n0_, n1_, n2_ = jax.lax.cond(
+        n_unres == 0, lambda a: a,
+        lambda a: jax.lax.cond(n_unres <= u_max, walk_compact,
+                               walk_full, a),
+        args)
+    return t_w, i_w, jnp.stack([n0_, n1_, n2_], axis=-1)

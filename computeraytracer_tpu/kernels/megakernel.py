@@ -514,7 +514,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int,
         return 1.0 / (1.0 + r * r)
 
     def bounce(getp, gets, diff, nondiff, depth, mesh_accessors=(),
-               scan_fn=None):
+               scan_fn=None, defer_nee=False):
         o, d, L, beta, last_pdf, eta_scale = diff
         seed, exclude, specular, in_trans, active = nondiff
         one = jnp.ones(shape, jnp.float32)
@@ -623,6 +623,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int,
                       n_lights - 1)
         nee = [zero] * 4
         sh_idx_aux = []
+        nee_aux = []
         for l_i, lr in enumerate(static.light_rows):
             lsel = is_diffuse & (li == l_i)
             sl = lslot[lr]
@@ -633,7 +634,7 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int,
                    l_o[1] + u_p * l_e1[1] + v_p * l_e2[1],
                    l_o[2] + u_p * l_e1[2] + v_p * l_e2[2])
             ldir = _vnormalize(_vsub(p_l, hit["pos"]))
-            if static.mesh_parts:
+            if static.mesh_parts and not defer_nee:
                 # mesh scenes: the shadow scan is a full BVH traversal —
                 # skip it when no lane in the tile picked this light
                 # (replay stays consistent: a skipped scan tapes -1,
@@ -666,8 +667,21 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int,
                               cos_t * w_l / jnp.maximum(pdf_l, 1e-12),
                               0.0)
             l_emis = gets(static.emission_idx[lslot[lr]])
-            nee = [nee[j] + l_emis[j] * scale for j in range(4)]
-        L = tuple(L[j] + brdf[j] * nee[j] * beta[j] for j in range(4))
+            if defer_nee:
+                # deferred NEE (build_shade_step): sh was an UNROLLED-
+                # only scan; emit the candidate contribution in the
+                # exact float op order of the in-kernel L update
+                # ((brdf * nee) * beta with nee = l_emis * scale), for
+                # XLA to add after it resolves mesh occlusion. Lanes a
+                # mesh later occludes get their contribution zeroed;
+                # everything else is bit-identical.
+                contrib = tuple((brdf[j] * (l_emis[j] * scale)) * beta[j]
+                                for j in range(4))
+                nee_aux.append((ldir, sh["t"], contrib, lsel))
+            else:
+                nee = [nee[j] + l_emis[j] * scale for j in range(4)]
+        if not defer_nee:
+            L = tuple(L[j] + brdf[j] * nee[j] * beta[j] for j in range(4))
 
         # cosine hemisphere (wgsl:751-774)
         r_h = jnp.sqrt(jnp.maximum(u_h, 0.0))
@@ -764,6 +778,11 @@ def make_bounce(static: SceneStatic, shape, max_depth: int, rr_start: int,
         beta = tuple(jnp.where(surv, beta[j] * inv1q, beta[j])
                      for j in range(4))
 
+        if defer_nee:
+            return ((o, d, L, beta, last_pdf, eta_scale),
+                    (seed, exclude, specular, in_trans, active),
+                    (hit["idx"], tuple(sh_idx_aux),
+                     hit["pos"], tuple(nee_aux)))
         return ((o, d, L, beta, last_pdf, eta_scale),
                 (seed, exclude, specular, in_trans, active),
                 (hit["idx"], tuple(sh_idx_aux)))
@@ -1020,32 +1039,34 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
 
 
 # ---------------------------------------------------------------------------
-# wavefront single-bounce kernel: one depth per dispatch, carry in HBM
+# wavefront shade kernel: one bounce per dispatch, mesh casting external
 # ---------------------------------------------------------------------------
 
 
-def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
-                      tile_m: int = DEFAULT_TILE_M,
-                      interpret: bool = False,
-                      stream_tris: bool | None = None):
-    """One bounce as its own pallas_call (the wavefront path).
+def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
+                     tile_m: int = DEFAULT_TILE_M,
+                     interpret: bool = False):
+    """One bounce with mesh casting EXTERNALIZED (the binned wavefront).
 
-    The megakernel loops bounces inside one kernel, so a ray tile keeps
-    its CAMERA coherence for every bounce — after the first diffuse
-    bounce the tile's rays point everywhere and the chunk-BVH cull
-    collapses to a full scan. The wavefront orchestrator
-    (tracer/pallas.py _wavefront_forward, reached via
-    trace_radiance(wavefront=True)) instead re-sorts the ray population
-    BETWEEN bounces (direction octant + position Morton) in XLA, so
-    every dispatch of this kernel sees spatially coherent tiles.
-    Per-ray arithmetic is identical to the megakernel — same bounce
-    function, same pcg4d draws — so results match bit-for-bit
-    (tests/test_meshpack.py pins it).
+    Where build_bounce_step walks the chunk BVH inside the kernel (tile-
+    granular culling that collapses for incoherent rays), this kernel
+    takes the per-ray mesh closest hit as an INPUT (computed between
+    bounces by kernels/binned.py at per-RAY granularity) and defers the
+    NEE mesh-visibility test: it emits each light's shadow ray and
+    candidate contribution, and XLA zeroes the occluded ones after a
+    binned shadow cast. RNG draw order and all per-lane arithmetic are
+    the megakernel's, so radiance is bit-identical to the in-kernel
+    loop (tests/test_pallas.py pins it).
 
-    Returns f(depth (1,1) i32, prims_f (P,12), carry_f (16,M,128) f32,
+    Returns f(depth (1,1) i32, prims_f (P,12), carry_f (16,M,128),
     carry_u (4,M,128) u32, carry_i (4,M,128) i32, spect (S4,M,128),
-    *mesh_arrays) -> (carry_f', carry_u', carry_i', tape_idx (M,128)
-    i32, tape_sh (n_lights,M,128) i32).
+    mesh_f (4,M,128) f32 [t, n.xyz], mesh_i (1,M,128) i32 [idx]) ->
+      (carry_f', carry_u', carry_i',
+       tape_idx (M,128) i32            — merged main winner,
+       sh_f ((3+8*L),M,128) f32        — [shadow origin xyz] then per
+         light [ldir xyz, t_unrolled, contrib x4],
+       sh_i ((2*L),M,128) i32          — per light [idx_unrolled, lsel])
+    where L = n_lights.
     """
     S = static.n_spectra
     shape = (tile_m, LANES)
@@ -1053,40 +1074,74 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
                          barrier=interpret)
     parts = static.mesh_parts
     n_lights = max(1, len(static.light_rows))
-    if stream_tris is None:
-        stream_tris = should_stream_tris(static)
-    stream_tris = bool(stream_tris and parts)
+    nl_real = len(static.light_rows)
 
     def kernel(depth_ref, prims_ref, cf_ref, cu_ref, ci_ref, spect_ref,
-               *rest):
-        tri_scratch = tri_sem = None
-        if stream_tris:
-            rest, tri_scratch, tri_sem = rest[:-2], rest[-2], rest[-1]
-        mesh_refs = rest[:-5]
-        cf_out, cu_out, ci_out, tidx_ref, tsh_ref = rest[-5:]
+               mf_ref, mi_ref, cf_out, cu_out, ci_out, tidx_ref,
+               shf_ref, shi_ref):
         depth = depth_ref[0, 0]
         getp = lambda i, j: prims_ref[i, j]
         gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
                                  for j in range(4))
-        accessors = _make_accessors(parts, mesh_refs, tri_scratch, tri_sem)
+        # parts drive material masks / brdf bindings only (reads=None);
+        # all mesh casting came in through mf/mi
+        accessors = tuple((part, None) for part in parts)
+        mesh_t = mf_ref[0]
+        mesh_n = (mf_ref[1], mf_ref[2], mf_ref[3])
+        mesh_id = mi_ref[0]
+
+        def scan_fn(tag, so, sd, sexcl):
+            st = _scan_primitives(static, getp, so, sd, sexcl, shape,
+                                  (), barrier=interpret)
+            if tag != "main":
+                return st  # NEE: unrolled only; mesh occlusion deferred
+            # fold the precomputed mesh winner in with the exact tie
+            # rule of _scan_mesh_part; pos recomputed with the same op
+            # order (_vadd(o, _vscale(t, d))) as every in-kernel branch
+            take = ((mesh_t < st["t"])
+                    | ((mesh_t == st["t"]) & (mesh_id > st["idx"])))
+            t = jnp.where(take, mesh_t, st["t"])
+            idx = jnp.where(take, mesh_id, st["idx"])
+            pos = _vwhere(take, _vadd(so, _vscale(mesh_t, sd)),
+                          st["pos"])
+            nrm = _vwhere(take, mesh_n, st["nrm"])
+            return {"t": t, "idx": idx, "pos": pos, "nrm": nrm,
+                    "hit": idx >= 0}
+
         carry = tuple(cf_ref[p] for p in range(N_DIFF)) + \
             tuple(cu_ref[k] for k in range(4)) + \
             tuple(ci_ref[k] for k in range(4))
         neg = jnp.full(shape, -1, jnp.int32)
+        zero = jnp.zeros(shape, jnp.float32)
+        inf = jnp.full(shape, jnp.inf, jnp.float32)
+        zi = jnp.zeros(shape, jnp.int32)
 
         def do(carry):
             diff = _unpack_diff(carry[:N_DIFF])
             nondiff = _unpack_nd(carry[N_DIFF:])
             diff, nondiff, aux = bounce(getp, gets, diff, nondiff,
-                                        depth, accessors)
-            hit_idx, sh_idx = aux
-            sh = list(sh_idx) + [neg] * (n_lights - len(sh_idx))
-            return (_pack_diff(diff) + _pack_nd(nondiff),
-                    (hit_idx, tuple(sh)))
+                                        depth, accessors,
+                                        scan_fn=scan_fn, defer_nee=True)
+            hit_idx, sh_idx, sh_o, nee_aux = aux
+            flat = [hit_idx] + list(sh_o)
+            for l_i in range(nl_real):
+                ldir, t_su, contrib, lsel = nee_aux[l_i]
+                flat += [sh_idx[l_i], lsel.astype(jnp.int32),
+                         t_su, *ldir, *contrib]
+            for _ in range(n_lights - nl_real):
+                flat += [neg, zi, inf, zero, zero, zero,
+                         zero, zero, zero, zero]
+            return (_pack_diff(diff) + _pack_nd(nondiff), tuple(flat))
 
-        carry, aux = jax.lax.cond(
-            jnp.any(carry[-1] != 0), do,
-            lambda c: (c, (neg, (neg,) * n_lights)), carry)
+        def skip(carry):
+            flat = [neg, zero, zero, zero]
+            for _ in range(n_lights):
+                flat += [neg, zi, inf, zero, zero, zero,
+                         zero, zero, zero, zero]
+            return (carry, tuple(flat))
+
+        carry, aux = jax.lax.cond(jnp.any(carry[-1] != 0), do, skip,
+                                  carry)
         for p in range(N_DIFF):
             cf_out[p] = carry[p]
         for k in range(4):
@@ -1094,30 +1149,32 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
         for k in range(4):
             ci_out[k] = carry[N_DIFF + 4 + k]
         tidx_ref[:] = aux[0]
+        shf_ref[0] = aux[1]
+        shf_ref[1] = aux[2]
+        shf_ref[2] = aux[3]
         for l_i in range(n_lights):
-            tsh_ref[l_i] = aux[1][l_i]
+            b = 4 + 10 * l_i
+            shi_ref[2 * l_i] = aux[b]
+            shi_ref[2 * l_i + 1] = aux[b + 1]
+            fb = 3 + 8 * l_i
+            shf_ref[fb + 3] = aux[b + 2]           # t_unrolled
+            shf_ref[fb + 0] = aux[b + 3]           # ldir x3
+            shf_ref[fb + 1] = aux[b + 4]
+            shf_ref[fb + 2] = aux[b + 5]
+            shf_ref[fb + 4] = aux[b + 6]           # contrib x4
+            shf_ref[fb + 5] = aux[b + 7]
+            shf_ref[fb + 6] = aux[b + 8]
+            shf_ref[fb + 7] = aux[b + 9]
 
     @jax.jit
     def step(depth, prims_f, carry_f, carry_u, carry_i, spect,
-             *mesh_arrays):
+             mesh_f, mesh_i):
         m = carry_f.shape[1]
         grid = (m // tile_m,)
         s4 = S * 4
         tile = lambda k: pl.BlockSpec((k, tile_m, LANES),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
-        mesh_specs = []
-        for _ in parts:
-            mesh_specs.append(pl.BlockSpec(
-                memory_space=pl.ANY if stream_tris else pltpu.VMEM))
-            for _k in range(ARRAYS_PER_PART - 1):
-                mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch = []
-        if stream_tris:
-            from computeraytracer_tpu.kernels import meshpack
-            scratch = [pltpu.VMEM((meshpack.ROWS_PER_CHUNK, LANES),
-                                  jnp.float32),
-                       pltpu.SemaphoreType.DMA(())]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -1126,26 +1183,27 @@ def build_bounce_step(static: SceneStatic, max_depth: int, rr_start: int,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 tile(N_DIFF), tile(4), tile(4), tile(s4),
-                *mesh_specs,
+                tile(4), tile(1),
             ],
             out_specs=[
                 tile(N_DIFF), tile(4), tile(4),
                 pl.BlockSpec((tile_m, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_lights, tile_m, LANES),
-                             lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
+                tile(3 + 8 * n_lights), tile(2 * n_lights),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((N_DIFF, m, LANES), jnp.float32),
                 jax.ShapeDtypeStruct((4, m, LANES), jnp.uint32),
                 jax.ShapeDtypeStruct((4, m, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((m, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((n_lights, m, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((3 + 8 * n_lights, m, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((2 * n_lights, m, LANES),
+                                     jnp.int32),
             ],
-            scratch_shapes=scratch,
             interpret=interpret,
-        )(depth, prims_f, carry_f, carry_u, carry_i, spect, *mesh_arrays)
+        )(depth, prims_f, carry_f, carry_u, carry_i, spect,
+          mesh_f, mesh_i)
 
     return step
 

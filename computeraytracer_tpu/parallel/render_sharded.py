@@ -54,12 +54,22 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
     local_spp = spp // sp
 
     mesh_packs = None
+    block = None
     if kernel == "pallas":
+        from computeraytracer_tpu.kernels import megakernel as mk
         from computeraytracer_tpu.tracer import pallas as pallas_tracer
         if static is None:
             static = pallas_tracer.SceneStatic.from_scene(scene)
         if static.mesh_parts:
             mesh_packs = pallas_tracer.mesh_packs_for(scene, static)
+            # per-shard block-coherent pixel order: the in-kernel mesh
+            # BVH culls at ray-tile granularity, and a row-major shard
+            # tile is a full-width strip whose frustum crosses the whole
+            # scene (see pallas._block_order). Seeds come from GLOBAL
+            # pixel coordinates, so the permutation cannot change any
+            # sample value — only which lanes share a tile.
+            block = pallas_tracer._block_order(
+                width, tile_h, mk.MESH_TILE_M * mk.LANES)
 
     def render_tile(scene, bvh, px, py, s):
         if kernel == "pallas":
@@ -80,7 +90,14 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
         dpi = jax.lax.axis_index(DP_AXIS)
         spi = jax.lax.axis_index(SP_AXIS)
         y0 = dpi.astype(jnp.uint32) * jnp.uint32(tile_h)
-        px, py = xla_tracer.tile_coords(width, tile_h, y0)
+        if block is None:
+            px, py = xla_tracer.tile_coords(width, tile_h, y0)
+            inv = None
+        else:
+            px_b, py_b, inv_b = block
+            px = jnp.asarray(px_b)
+            py = jnp.asarray(py_b) + y0
+            inv = jnp.asarray(inv_b)
 
         def body(acc, k):
             s = (jnp.uint32(first_sample) + spi.astype(jnp.uint32)
@@ -91,6 +108,8 @@ def render_accumulate_sharded(scene, width: int, height: int, spp: int,
         acc, _ = jax.lax.scan(body, acc0,
                               jnp.arange(local_spp, dtype=jnp.uint32))
         acc = jax.lax.psum(acc, SP_AXIS)
+        if inv is not None:
+            acc = jnp.take(acc, inv, axis=0)
         return acc.reshape(tile_h, width, 3)
 
     if bvh is not None:

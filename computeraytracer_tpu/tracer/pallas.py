@@ -67,10 +67,9 @@ def _backward_cached(static, max_depth, rr_start, tile_m, interpret):
 
 
 @functools.lru_cache(maxsize=64)
-def _bounce_step_cached(static, max_depth, rr_start, tile_m, interpret,
-                       stream_tris=None):
-    return mk.build_bounce_step(static, max_depth, rr_start, tile_m,
-                                interpret, stream_tris=stream_tris)
+def _shade_step_cached(static, max_depth, rr_start, tile_m, interpret):
+    return mk.build_shade_step(static, max_depth, rr_start, tile_m,
+                               interpret)
 
 
 def _use_interpret() -> bool:
@@ -154,61 +153,32 @@ def _mesh_bwd(fwd_taped, static, max_depth, rr_start, res, g):
 _mesh_call.defvjp(_mesh_fwd, _mesh_bwd)
 
 
-def _spread10(v):
-    """10-bit -> 30-bit Morton spread on uint32 vectors."""
-    v = v & jnp.uint32(0x3FF)
-    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
-    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
-    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
-    v = (v | (v << 2)) & jnp.uint32(0x09249249)
-    return v
-
-
-def _wavefront_keys(carry_f, carry_i):
-    """Sort key per ray: [3b direction octant | 27b position Morton],
-    dead rays keyed to the end (so the kernel's all-dead tile skip
-    becomes free compaction)."""
-    R = carry_f.shape[1] * carry_f.shape[2]
-    flat = lambda p: carry_f[p].reshape(R)
-    ox, oy, oz = flat(0), flat(1), flat(2)
-    dx, dy, dz = flat(3), flat(4), flat(5)
-    active = carry_i[3].reshape(R) != 0
-    oct_ = (((dx < 0).astype(jnp.uint32) << 2)
-            | ((dy < 0).astype(jnp.uint32) << 1)
-            | (dz < 0).astype(jnp.uint32))
-
-    def q9(v):
-        lo, hi = jnp.min(v), jnp.max(v)
-        t = (v - lo) / jnp.maximum(hi - lo, 1e-20)
-        return jnp.clip(t * 511.0, 0.0, 511.0).astype(jnp.uint32)
-
-    morton = (_spread10(q9(ox)) | (_spread10(q9(oy)) << jnp.uint32(1))
-              | (_spread10(q9(oz)) << jnp.uint32(2)))
-    key = (oct_ << jnp.uint32(27)) | (morton & jnp.uint32(0x07FFFFFF))
-    return jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
-
-
 def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
-                       spect_p, mesh_arrays):
-    """Per-bounce dispatch with inter-bounce ray sorting.
+                       spect_p, mesh_arrays, interpret):
+    """Binned wavefront: one shade dispatch per bounce, mesh casts in
+    between at per-RAY granularity (kernels/binned.py).
 
-    The megakernel's bounce loop keeps each ray tile fixed for the
-    whole path, so after one diffuse bounce the tile's frustum covers
-    the hemisphere and the chunk-BVH cull degenerates to a full scan
-    (measured ~600ms/bounce at 80K tris 256^2 on v5e). Here each bounce
-    is one kernel dispatch; between dispatches XLA re-sorts the ray
-    population by direction octant + origin Morton code, so tiles stay
-    spatially coherent at EVERY depth and dead rays compact to all-dead
-    tiles the kernel skips. Per-ray arithmetic (and the pcg4d stream)
-    is untouched — results are bit-identical to the in-kernel loop.
+    The megakernel's in-kernel bounce loop culls the chunk BVH at ray-
+    TILE granularity — near-optimal for camera rays, but a sorted post-
+    bounce tile still enters ~50x more chunks than its rays need
+    individually (measured; see kernels/binned.py header). Here every
+    bounce is: (1) binned per-ray mesh closest-hit for the live rays,
+    (2) one build_shade_step dispatch (unrolled scan + shading + RNG,
+    mesh winner folded in, NEE visibility deferred), (3) binned shadow
+    casts per light, occluded NEE contributions zeroed in XLA. Per-ray
+    arithmetic and pcg4d draws are untouched — radiance is bit-
+    identical to the in-kernel loop (tests/test_pallas.py pins it).
 
     Returns (L (4, M, LANES), tape_idx (D+1, M, LANES), tape_sh
-    (D+1, n_lights, M, LANES)) — everything in ORIGINAL ray order, so
-    the guided replay (tracer/replay.py) is oblivious to the sorting.
+    (D+1, n_lights, M, LANES)) — the same contract as the in-kernel
+    taped forward, so the guided replay backward is oblivious.
     """
+    from computeraytracer_tpu.kernels import binned
+
     m = rays.shape[1]
     R = m * LANES
     n_lights = max(1, len(static.light_rows))
+    nl_real = len(static.light_rows)
     zero = jnp.zeros((1, m, LANES), jnp.float32)
     one = jnp.ones((1, m, LANES), jnp.float32)
     carry_f = jnp.concatenate(
@@ -219,36 +189,67 @@ def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
         jnp.full((1, m, LANES), -1, jnp.int32),
         jnp.zeros((2, m, LANES), jnp.int32),
         jnp.ones((1, m, LANES), jnp.int32)], axis=0)
-    ridx = jnp.arange(R, dtype=jnp.int32)
     tapes_idx, tapes_sh = [], []
+    flat = lambda p: p.reshape(R)
+    inf_r = jnp.full((R,), jnp.inf, jnp.float32)
+    neg_r = jnp.full((R,), -1, jnp.int32)
+    zero_r = jnp.zeros((R,), jnp.float32)
 
-    def permute(arr, perm):
-        k = arr.shape[0]
-        return arr.reshape(k, R)[:, perm].reshape(k, m, LANES)
+    def cast(o, d, exclude, mask):
+        """Gated binned mesh closest-hit over (R,) flats."""
+        def go(_):
+            t, i, n = binned.mesh_closest_hit(
+                static, mesh_arrays, o, d, exclude,
+                interpret=interpret, active=mask)
+            return t, i, n[:, 0], n[:, 1], n[:, 2]
+
+        return jax.lax.cond(
+            jnp.any(mask), go,
+            lambda _: (inf_r, neg_r, zero_r, zero_r, zero_r), 0)
 
     for depth in range(max_depth + 1):
-        if depth > 0 and m > 1:
-            perm = jnp.argsort(_wavefront_keys(carry_f, carry_i))
-            carry_f = permute(carry_f, perm)
-            carry_u = permute(carry_u, perm)
-            carry_i = permute(carry_i, perm)
-            spect_p = permute(spect_p, perm)
-            ridx = ridx[perm]
+        o = jnp.stack([flat(carry_f[c]) for c in range(3)], axis=-1)
+        d = jnp.stack([flat(carry_f[3 + c]) for c in range(3)], axis=-1)
+        exclude = flat(carry_i[0])
+        active = flat(carry_i[3]) != 0
+        t_m, i_m, n0, n1, n2 = cast(o, d, exclude, active)
+        mesh_f = jnp.stack([t_m, n0, n1, n2]).reshape(4, m, LANES)
+        mesh_i = i_m.reshape(1, m, LANES)
         depth_arr = jnp.full((1, 1), depth, jnp.int32)
-        carry_f, carry_u, carry_i, tidx, tsh = step_fn(
+        carry_f, carry_u, carry_i, tidx, sh_f, sh_i = step_fn(
             depth_arr, prims_u, carry_f, carry_u, carry_i, spect_p,
-            *mesh_arrays)
-        tapes_idx.append(
-            jnp.zeros((R,), jnp.int32).at[ridx].set(tidx.reshape(R)))
-        tapes_sh.append(
-            jnp.zeros((n_lights, R), jnp.int32).at[:, ridx].set(
-                tsh.reshape(n_lights, R)))
+            mesh_f, mesh_i)
 
-    L = carry_f[6:10].reshape(4, R)
-    L = jnp.zeros((4, R), jnp.float32).at[:, ridx].set(L)
-    tape_idx = jnp.stack(tapes_idx).reshape(-1, m, LANES)
-    tape_sh = jnp.stack(tapes_sh).reshape(-1, n_lights, m, LANES)
-    return L.reshape(4, m, LANES), tape_idx, tape_sh
+        sh_o = jnp.stack([flat(sh_f[c]) for c in range(3)], axis=-1)
+        ex_sh = flat(tidx)
+        l_add = jnp.zeros((4, m, LANES), jnp.float32)
+        tape_l = []
+        for l_i in range(nl_real):
+            fb = 3 + 8 * l_i
+            ldir = jnp.stack([flat(sh_f[fb + c]) for c in range(3)],
+                             axis=-1)
+            t_su = flat(sh_f[fb + 3])
+            id_su = flat(sh_i[2 * l_i])
+            lsel = flat(sh_i[2 * l_i + 1]) != 0
+            t_ms, i_ms, _, _, _ = cast(sh_o, ldir, ex_sh, lsel)
+            # mesh ids exceed every unrolled id (SceneStatic contract),
+            # so the tie rule reduces to t_mesh <= t_unrolled
+            occl = (i_ms >= 0) & (t_ms <= t_su)
+            occl_p = occl.reshape(1, m, LANES)
+            l_add = l_add + jnp.where(occl_p, 0.0,
+                                      sh_f[fb + 4:fb + 8])
+            tape_l.append(jnp.where(occl, i_ms, id_su)
+                          .reshape(m, LANES))
+        for _ in range(n_lights - nl_real):
+            tape_l.append(jnp.full((m, LANES), -1, jnp.int32))
+        carry_f = carry_f.at[6:10].add(l_add)
+        tapes_idx.append(tidx)
+        tapes_sh.append(jnp.stack(tape_l))
+
+    L = carry_f[6:10]
+    tape_idx = jnp.stack(tapes_idx)
+    tape_sh = jnp.stack(tapes_sh)
+    return L, tape_idx, tape_sh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -257,7 +258,8 @@ def _mesh_call_wf(step_fn, static, max_depth, rr_start,
     """Wavefront mesh call; backward is the same guided replay."""
     prims_u = prims_full[jnp.asarray(static.rows)]
     out, _, _ = _wavefront_forward(step_fn, static, max_depth, prims_u,
-                                   rays, seeds, spect_p, mesh_arrays)
+                                   rays, seeds, spect_p, mesh_arrays,
+                                   _use_interpret())
     return out
 
 
@@ -266,7 +268,7 @@ def _mesh_wf_fwd(step_fn, static, max_depth, rr_start,
     prims_u = prims_full[jnp.asarray(static.rows)]
     out, tape_idx, tape_sh = _wavefront_forward(
         step_fn, static, max_depth, prims_u, rays, seeds, spect_p,
-        mesh_arrays)
+        mesh_arrays, _use_interpret())
     return out, (prims_full, rays, seeds, spect_p, cats, mesh_arrays,
                  tape_idx, tape_sh)
 
@@ -382,9 +384,8 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     if backward == "replay":
         cats = jnp.asarray(scene.primitives.category, jnp.int32)
         if wavefront:
-            step_fn = _bounce_step_cached(static, int(max_depth),
-                                          int(rr_start), tile_m, interpret,
-                                          stream_tris)
+            step_fn = _shade_step_cached(static, int(max_depth),
+                                         int(rr_start), tile_m, interpret)
             out = _mesh_call_wf(step_fn, static, int(max_depth),
                                 int(rr_start), mk.pack_prims(scene), rays,
                                 seeds, spect_p, cats, mesh_arrays)
@@ -395,13 +396,12 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                              mk.pack_prims(scene), rays, seeds, spect_p,
                              cats, mesh_arrays)
     elif wavefront and backward == "none":
-        step_fn = _bounce_step_cached(static, int(max_depth),
-                                      int(rr_start), tile_m, interpret,
-                                      stream_tris)
+        step_fn = _shade_step_cached(static, int(max_depth),
+                                     int(rr_start), tile_m, interpret)
         prims_u = mk.pack_prims(scene, static)
         out, _, _ = _wavefront_forward(step_fn, static, int(max_depth),
                                        prims_u, rays, seeds, spect_p,
-                                       mesh_arrays)
+                                       mesh_arrays, interpret)
     elif backward == "pallas":
         fwd = _forward_cached(static, int(max_depth), int(rr_start),
                               tile_m, interpret)

@@ -125,3 +125,23 @@ def test_sharded_pallas_kernel_matches_single_device(cornell_scene, mesh42):
     sharded = render_sharded.render_accumulate_sharded(
         cornell_scene, w, h, spp, mesh42, max_depth=3, kernel="pallas")
     _assert_mostly_equal(np.asarray(sharded), np.asarray(single))
+
+
+def test_sharded_mesh_pallas_matches_single_device(mesh42):
+    """Mesh scene through the sharded Pallas path (config-5 shape):
+    per-shard block-coherent pixel ordering (render_sharded `block`)
+    is a pure permutation — seeds are global-coordinate — so the
+    sharded image matches the single-device render."""
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pallas_tracer
+
+    w, h, spp = 32, 32, 2
+    scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=2))
+    static = pallas_tracer.SceneStatic.from_scene(scene, mesh_min=64)
+    assert static.mesh_parts
+    single = pallas_tracer.render_accumulate(scene, w, h, spp, max_depth=2)
+    mesh = mesh_mod.make_mesh(jax.devices()[:2], (2, 1))
+    sharded = render_sharded.render_accumulate_sharded(
+        scene, w, h, spp, mesh, max_depth=2, kernel="pallas",
+        static=static)
+    _assert_mostly_equal(np.asarray(sharded), np.asarray(single))
