@@ -35,7 +35,9 @@ def _time_render(render_fn, paths, iters=2):
     for _ in range(iters):
         t0 = time.perf_counter()
         out = jax.block_until_ready(render_fn())
-        np.asarray(out).ravel()[:1]
+        # host-copy one leaf: under the remote-TPU tunnel
+        # block_until_ready alone can return early (see bench.py _sync)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         best = min(best, time.perf_counter() - t0)
     return best, paths / best / 1e6
 

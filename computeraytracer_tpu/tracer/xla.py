@@ -44,6 +44,16 @@ from computeraytracer_tpu.ops import spectrum as spec
 ETA1, ETA2 = 1.0, 1.5  # glass interface (wgsl:210-211)
 
 
+def _vis_domains(vis_grads):
+    """Normalize the vis_grads flag: False -> (), True -> all three
+    warped domains, or an explicit subset like ("screen", "light")."""
+    if not vis_grads:
+        return ()
+    if vis_grads is True:
+        return ("screen", "light", "hemi")
+    return tuple(vis_grads)
+
+
 class PathState(NamedTuple):
     seed: jnp.ndarray        # (R, 4) uint32
     ray_o: jnp.ndarray       # (R, 3)
@@ -84,7 +94,7 @@ def init_state(o, d, seed) -> PathState:
 
 
 def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p,
-         isect_fn):
+         isect_fn, vis_grads: bool = False):
     """Next-event estimation (wgsl:379-408). Returns the MIS-weighted
     radiance contribution (R, 4) for diffuse lanes."""
     prims = scene.primitives
@@ -94,6 +104,12 @@ def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p,
     l_origin = prims.data1[l_prim]
     l_edge1 = prims.data2[l_prim]
     l_edge2 = prims.data3[l_prim]
+    detj = 1.0
+    if "light" in _vis_domains(vis_grads):
+        from computeraytracer_tpu.ops import warp
+        u_p, v_p, detj = warp.light_warp(
+            scene, hit.position, hit.index, l_origin, l_edge1, l_edge2,
+            l_prim, u_p, v_p, is_diffuse)
     p_on_light = sampling.point_on_light(l_origin, l_edge1, l_edge2, u_p, v_p)
     ldir = _safe_normalize(p_on_light - hit.position)
     shadow = isect_fn(hit.position, ldir, hit.index)
@@ -109,7 +125,46 @@ def _nee(scene, hit, brdf, lambdas, beta, is_diffuse, u_l, u_p, v_p,
     weight_l = sampling.power_heuristic(1.0, pdf_l, 1.0, pdf_b)
     contrib = le * (weight_l / jnp.maximum(pdf_l, 1e-12))[..., None]
     take = (is_diffuse & unoccluded)[..., None]
-    return jnp.where(take, brdf * contrib * beta, 0.0)
+    out = jnp.where(take, brdf * contrib * beta, 0.0)
+    if "light" in _vis_domains(vis_grads):
+        out = out * detj[..., None]
+    return out
+
+
+def _splat_correction(xyz, s, t, width, height):
+    """Zero-primal tent-filter splat for warped screen samples.
+
+    The screen warp moves a sample's film coordinate with the geometry,
+    but the sample stays statically binned to its pixel — so the flux
+    of radiance BETWEEN pixels (the entire image-gradient signal when a
+    flat-radiance silhouette crosses differently-weighted pixels) never
+    reaches AD. Each sample therefore also contributes
+    (k - stop_grad(k)) * f to the 2x2 pixels of a unit tent filter
+    evaluated at the WARPED coordinate: exactly zero primally, while
+    the derivative tent-distributes d(film coord)/d(theta) flux to the
+    pixels it crosses (the filters form a partition of unity, so flux
+    is conserved). Assumes the caller renders a full row-major film
+    (render_sample does); requires rays in py*width+px order."""
+    sg = jax.lax.stop_gradient
+    # pixel px covers s*W in [px, px+1) (center px+.5); row py covers
+    # H - t*H in (py-1, py] (center py-.5) — the reference's t-flip quirk
+    gx = s * jnp.float32(width) - 0.5
+    gy = (jnp.float32(height) - t * jnp.float32(height)) + 0.5
+    x0 = jnp.floor(sg(gx))
+    y0 = jnp.floor(sg(gy))
+    corr = jnp.zeros_like(xyz)
+    for dx in (0.0, 1.0):
+        for dy in (0.0, 1.0):
+            qx = x0 + dx
+            qy = y0 + dy
+            kk = (jnp.maximum(0.0, 1.0 - jnp.abs(gx - qx))
+                  * jnp.maximum(0.0, 1.0 - jnp.abs(gy - qy)))
+            w_corr = kk - sg(kk)
+            qxi = jnp.clip(qx.astype(jnp.int32), 0, width - 1)
+            qyi = jnp.clip(qy.astype(jnp.int32), 0, height - 1)
+            lin = qyi * width + qxi
+            corr = corr.at[lin].add(w_corr[..., None] * sg(xyz))
+    return corr
 
 
 def make_intersector(scene, bvh=None):
@@ -124,7 +179,7 @@ def make_intersector(scene, bvh=None):
 
 def trace_step(scene, lambdas, state: PathState, depth: int,
                max_depth: int, rr_start: int,
-               isect_fn=None) -> PathState:
+               isect_fn=None, vis_grads: bool = False) -> PathState:
     """One bounce of the path-trace loop (wgsl:133-293) over all lanes."""
     prims = scene.primitives
     if isect_fn is None:
@@ -178,11 +233,21 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
     brdf = spec.sample_spectrum(scene.spectra, hit.reflectance,
                                 lambdas) / jnp.pi
     radiance = radiance + _nee(scene, hit, brdf, lambdas, beta, is_diffuse,
-                               u_l, u_p, v_p, isect_fn)
+                               u_l, u_p, v_p, isect_fn, vis_grads)
+    detj_h = 1.0
+    if "hemi" in _vis_domains(vis_grads):
+        from computeraytracer_tpu.ops import warp
+        u_h, v_h, detj_h = warp.hemisphere_warp(
+            scene, hit.position, hit.normal, hit.index, u_h, v_h,
+            is_diffuse)
     bounce_dir, bounce_pdf = sampling.cosine_hemisphere(hit.normal, u_h, v_h)
     cos_b = jnp.abs(_dot(hit.normal, bounce_dir))
     beta_diffuse = beta * brdf * (
         cos_b / jnp.maximum(bounce_pdf, 1e-12))[..., None]
+    if "hemi" in _vis_domains(vis_grads):
+        # detJ of the hemisphere reparameterization scales everything
+        # the path gathers AFTER this bounce (beta carries it forward)
+        beta_diffuse = beta_diffuse * detj_h[..., None]
 
     # ---------------- GLASS (wgsl:208-276): 1 draw -------------------
     u_g, seed = rng.rand_masked(seed, is_glass)
@@ -240,7 +305,8 @@ def trace_step(scene, lambdas, state: PathState, depth: int,
 
 
 def path_trace(scene, o, d, lambdas, seed, max_depth: int,
-               rr_start: int = 1, use_remat: bool = True, bvh=None):
+               rr_start: int = 1, use_remat: bool = True, bvh=None,
+               vis_grads: bool = False):
     """Trace rays to completion. Returns (radiance (R, 4), final seed).
 
     Runs max_depth+1 iterations: iteration i scatters only while
@@ -252,7 +318,7 @@ def path_trace(scene, o, d, lambdas, seed, max_depth: int,
 
     def body(state, depth):
         new_state = trace_step(scene, lambdas, state, depth, max_depth,
-                               rr_start, isect_fn)
+                               rr_start, isect_fn, vis_grads)
         return new_state, None
 
     if use_remat:
@@ -263,12 +329,19 @@ def path_trace(scene, o, d, lambdas, seed, max_depth: int,
 
 def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
-                  use_remat: bool = True, bvh=None):
+                  use_remat: bool = True, bvh=None,
+                  vis_grads: bool = False):
     """Trace one sample for explicit pixel coordinates px, py (R,).
 
     Seeds derive from GLOBAL pixel coordinates and the 1-based sample
     counter (wgsl:98), so any tiling/sharding of the film plane produces
     bit-identical results to a single-device render. Returns XYZ (R, 3).
+
+    vis_grads=True turns on the warped-area reparameterization
+    (ops/warp.py) of the screen, light-area and hemisphere sampling
+    domains: primal values are bit-identical, but AD additionally
+    captures the visibility boundary terms (moving silhouettes and
+    shadows) that interior gradients miss.
     """
     from computeraytracer_tpu.scene import data as scene_data
     scene = scene_data.as_jax(scene)
@@ -276,13 +349,35 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
         bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     sample_u = jnp.asarray(sample, jnp.uint32)
     seed = rng.seed_pixel(px, py, sample_u)
-    o, d, seed = cam_ops.camera_rays(
-        scene.camera.eye, scene.camera.lookat, scene.camera.up,
-        scene.camera.fov, width, height, px, py, sample_u, seed)
+    cam = scene.camera
+    domains = _vis_domains(vis_grads)
+    if domains:
+        # any vis_grads mode renders with unstratified pixel jitter (see
+        # film_coords: the reference's shared-stratum scheme is diagonal-
+        # correlated inside the pixel, which biases the warp's 2D
+        # boundary-integral estimator); the screen warp itself is only
+        # applied when requested
+        frame = cam_ops.film_frame(cam.eye, cam.lookat, cam.up, cam.fov,
+                                   width, height)
+        s, t, seed = cam_ops.film_coords(width, height, px, py, sample_u,
+                                         seed, stratified=False)
+        if "screen" in domains:
+            from computeraytracer_tpu.ops import warp
+            s, t, detj = warp.screen_warp(scene, width, height, s, t)
+        o, d = cam_ops.film_ray(cam.eye, *frame, s, t)
+    else:
+        o, d, seed = cam_ops.camera_rays(
+            cam.eye, cam.lookat, cam.up, cam.fov, width, height, px, py,
+            sample_u, seed)
     lambdas, seed = spec.sample_wavelengths(seed)
     radiance, _ = path_trace(scene, o, d, lambdas, seed, max_depth,
-                             rr_start, use_remat, bvh=bvh)
-    return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
+                             rr_start, use_remat, bvh=bvh,
+                             vis_grads=vis_grads)
+    xyz = spec.spectral_to_xyz(scene.cie, radiance, lambdas)
+    if "screen" in domains:
+        xyz = xyz * detj[..., None]
+        xyz = xyz + _splat_correction(xyz, s, t, width, height)
+    return xyz
 
 
 def tile_coords(width: int, tile_h: int, y0):
@@ -296,7 +391,8 @@ def tile_coords(width: int, tile_h: int, y0):
 
 def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
-                  use_remat: bool = True, bvh=None):
+                  use_remat: bool = True, bvh=None,
+                  vis_grads: bool = False):
     """One progressive sample: XYZ contribution image (H, W, 3).
 
     `sample` is the 1-based sample counter (wgsl main :77-117). The
@@ -304,7 +400,8 @@ def render_sample(scene, width: int, height: int, sample,
     """
     px, py = tile_coords(width, height, 0)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
-                        rr_start, use_remat, bvh=bvh)
+                        rr_start, use_remat, bvh=bvh,
+                        vis_grads=vis_grads)
     return xyz.reshape(height, width, 3)
 
 

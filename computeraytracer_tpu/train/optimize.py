@@ -59,11 +59,14 @@ def merge_scene(static_scene, params):
 def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
                     first_sample=1, mesh=None, use_remat=True,
                     kernel: str = "xla", kernel_static=None,
-                    kernel_plans=None):
+                    kernel_plans=None, vis_grads: bool = False):
     """Mean XYZ over spp samples; kernel: "xla" or "pallas" (megakernel
     fwd+bwd — pass kernel_static=SceneStatic.from_scene(scene), and for
     mesh scenes kernel_plans=(meshpack.plan_scene_mesh(...) per part),
-    when tracing inside jit/grad)."""
+    when tracing inside jit/grad).
+
+    vis_grads=True (xla kernel only) enables the warped-area visibility
+    gradients (ops/warp.py): bit-identical primal, boundary-aware AD."""
     if kernel == "pallas":
         from computeraytracer_tpu.tracer import pallas as pallas_tracer
         if kernel_static is None:
@@ -78,7 +81,8 @@ def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
             static=kernel_static, mesh_plans=kernel_plans)
     else:
         render_one = lambda s: xla_tracer.render_sample(
-            scene, width, height, s, max_depth, rr_start, use_remat)
+            scene, width, height, s, max_depth, rr_start, use_remat,
+            vis_grads=vis_grads)
     if mesh is None:
         accum = jnp.zeros((height, width, 3), jnp.float32)
 
