@@ -124,12 +124,20 @@ def main() -> int:
         return 0
 
     def accumulate(tracer, s, **kw):
-        # the training loop's sample scan: one dispatch, spp samples
+        # the training loop's sample scan: one dispatch, spp samples.
+        # The pallas tracer uses the planar (3, H, W) path: a (H, W, 3)
+        # scan carry pads its 3-wide minor dim to 128 TPU lanes (42x
+        # the HBM traffic per accumulation step).
+        render = getattr(tracer, "render_sample_planar", None)
+        planar = render is not None
+        if not planar:
+            render = tracer.render_sample
+
         def body(acc, k):
-            return acc + tracer.render_sample(s, w, h, k,
-                                              max_depth=args.depth,
-                                              **kw), None
-        img0 = jnp.zeros((h, w, 3), jnp.float32)
+            return acc + render(s, w, h, k, max_depth=args.depth,
+                                **kw), None
+        shape = (3, h, w) if planar else (h, w, 3)
+        img0 = jnp.zeros(shape, jnp.float32)
         img, _ = jax.lax.scan(body, img0, samples)
         return img / spp
 

@@ -18,7 +18,15 @@ run_cfg() {
     local reason="exit_code_$rc"
     [ $rc -eq 124 ] && reason="timeout_${tmo}s"
     grep -qiE 'RESOURCE_EXHAUSTED|out of memory|OOM' /tmp/staged_err_$label.log && reason="oom"
-    echo "{\"config\": \"$label\", \"failed\": true, \"reason\": \"$reason\", \"stderr_tail\": \"$(tail -c 300 /tmp/staged_err_$label.log | tr '\n' ' ' | tr '"' "'")\"}"
+    # python handles all JSON escaping (backslashes/control chars in
+    # tracebacks would make hand-quoted records invalid JSON lines)
+    CFG_LABEL="$label" CFG_REASON="$reason" python - <<'PYEOF'
+import json, os, sys
+tail = open(f"/tmp/staged_err_{os.environ['CFG_LABEL']}.log", "rb").read()[-300:]
+print(json.dumps({"config": os.environ["CFG_LABEL"], "failed": True,
+                  "reason": os.environ["CFG_REASON"],
+                  "stderr_tail": tail.decode("utf-8", "replace")}))
+PYEOF
   fi
 }
 

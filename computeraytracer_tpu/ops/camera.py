@@ -102,6 +102,35 @@ def world_to_film(eye, lookat, up, fov, width, height, x):
     return s, t
 
 
+def camera_rays_p(eye, lookat, up, fov, width, height, px, py, sample,
+                  seed_p, stratified: bool = True):
+    """camera_rays in planar layout: px, py (R,), seed_p (4, R) planar
+    RNG state -> (origins (3, R), directions (3, R), new_seed (4, R)).
+
+    Identical arithmetic to camera_rays per component (the (R, 3)
+    stacked layout pads its 3-wide minor dim to 128 TPU lanes; planar
+    keeps R minor). Consumes the same two draws in the same order."""
+    lower_left, horizontal, vertical = film_frame(eye, lookat, up, fov,
+                                                 width, height)
+    us, seed_p = rng.rand_p(seed_p)
+    ut, seed_p = rng.rand_p(seed_p)
+    if stratified:
+        stratum = (sample % jnp.uint32(C.GRID_SIZE)).astype(jnp.float32)
+        inv_grid = jnp.float32(1.0 / C.GRID_SIZE)
+        js = (stratum + us) * inv_grid
+        jt = (stratum + ut) * inv_grid
+    else:
+        js, jt = us, ut
+    s = (px.astype(jnp.float32) + js) / jnp.float32(width)
+    t = (jnp.float32(height) - py.astype(jnp.float32) + jt) / jnp.float32(height)
+    d = (lower_left[:, None] + s[None, :] * horizontal[:, None]
+         + t[None, :] * vertical[:, None] - eye[:, None])     # (3, R)
+    norm = jnp.sqrt(jnp.sum(d * d, axis=0))
+    d = d / norm
+    o = jnp.broadcast_to(eye[:, None], d.shape)
+    return o, d, seed_p
+
+
 def camera_rays(eye, lookat, up, fov, width, height, px, py, sample, seed):
     """Generate jittered primary rays for pixel coordinates px, py (...,).
 

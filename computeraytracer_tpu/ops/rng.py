@@ -93,6 +93,49 @@ def rand(seed):
     return to_unit_float(new_seed[..., 0]), new_seed
 
 
+def seed_pixel_p(px, py, sample):
+    """seed_pixel in planar (4, R) layout: row i = state component i.
+
+    Planar layout keeps the big ray axis minor, which is what TPU
+    tiling wants — a (R, 4) array pads its 4-wide minor dim to 128
+    lanes (32x the memory and vector-lane waste). Bit-identical
+    arithmetic to seed_pixel."""
+    px = jnp.asarray(px, _U32)
+    py = jnp.asarray(py, _U32)
+    sample = jnp.asarray(sample, _U32)
+    return jnp.stack(
+        [
+            py,
+            px * _U32(100),
+            jnp.broadcast_to(sample, px.shape),
+            tea(px, py * _U32(100)),
+        ],
+        axis=0,
+    )
+
+
+def pcg4d_p(seed):
+    """pcg4d on planar (4, R) state; same arithmetic as pcg4d."""
+    seed = seed * _U32(1664525) + _U32(1013904223)
+    x, y, z, w = seed[0], seed[1], seed[2], seed[3]
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x, y, z, w = (v ^ (v >> 16) for v in (x, y, z, w))
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return jnp.stack([x, y, z, w], axis=0)
+
+
+def rand_p(seed):
+    """rand on planar (4, R) state. Returns (u (R,), new_seed (4, R))."""
+    new_seed = pcg4d_p(seed)
+    return to_unit_float(new_seed[0]), new_seed
+
+
 def rand_masked(seed, mask):
     """Draw one uniform only on lanes where mask is True.
 

@@ -96,6 +96,69 @@ def sample_wavelengths(seed):
     return lam, seed
 
 
+def sample_wavelengths_p(seed_p):
+    """Hero-wavelength draw on planar (4, R) RNG state.
+
+    Returns (hero (R,) int32, new_seed). Only the hero index is
+    returned — the 3 companions are (hero + 4j) % 301 by construction
+    (wgsl:315-322) and are folded into expand_hero_table's rolled rows
+    instead of being materialized per ray."""
+    u, seed_p = rng.rand_p(seed_p)
+    hero = (u * jnp.float32(C.N_LAMBDA)).astype(jnp.int32)
+    return hero, seed_p
+
+
+def expand_hero_table(table):
+    """(K, 301) -> (K*4, 301): row k*4+j is table[k] rolled left by 4j.
+
+    expand_hero_table(T)[:, hero] stacks T[k, (hero + 4j) % 301] over
+    the 4 hero companions, so one hero-indexed column gather replaces
+    four lambda gathers. Differentiable (roll's transpose is roll)."""
+    rows = [jnp.roll(table, -4 * j, axis=1) for j in range(C.N_HERO)]
+    return jnp.stack(rows, axis=1).reshape(-1, table.shape[1])
+
+
+def gather_hero_planar(table_exp, hero):
+    """Column gather table_exp[:, hero] as a one-hot MXU contraction.
+
+    table_exp (K, 301) f32, hero (R,) int32 -> (K, R), R minor. The
+    one-hot (301, R) is fused into the dot operand by XLA (never
+    materialized) and Precision.HIGHEST makes the f32 selection
+    bit-exact vs a real gather (verified on v5e: 0.08 ms at R=1M vs
+    25 ms for the (R, k)-layout gather it replaces — the gather's
+    k-wide minor dim pads to 128 TPU lanes). Backward w.r.t. table_exp
+    is the transposed fused dot, replacing take_cols' chunked one-hot
+    scan."""
+    onehot = (jnp.arange(table_exp.shape[1], dtype=hero.dtype)[:, None]
+              == hero[None, :]).astype(table_exp.dtype)
+    return jnp.einsum("ml,lr->mr", table_exp, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def cie_window_exp(cie):
+    """(3, 471) CIE tables -> hero-expanded (12, 301) window.
+
+    Row k*4+j holds bar_k((lambda + 4j) % 301) over the 400-700nm
+    window, with the reference's +40 offset into the 360nm-based
+    tables (wgsl:324-338) applied by pre-slicing."""
+    return expand_hero_table(cie[:, C.CIE_OFFSET:C.CIE_OFFSET + C.N_LAMBDA])
+
+
+def spectral_to_xyz_p(cie_p, radiance_p):
+    """Riemann spectral->XYZ in planar layout (wgsl:419-426).
+
+    cie_p (12, R) = gather_hero_planar(cie_window_exp(cie), hero);
+    radiance_p (4, R) -> xyz (3, R). Same contraction order over the 4
+    hero wavelengths as spectral_to_xyz's einsum."""
+    b = cie_p.reshape(3, C.N_HERO, -1)
+    xyz = ((b[:, 0] * radiance_p[0] + b[:, 1] * radiance_p[1])
+           + b[:, 2] * radiance_p[2]) + b[:, 3] * radiance_p[3]
+    scale = jnp.float32(
+        (C.LAMBDA_MAX - C.LAMBDA_MIN) / (C.CIE_Y_INTEG * C.N_HERO)
+    )
+    return xyz * scale
+
+
 def sample_spectrum(spectra, index, lambdas):
     """spectra: (S, 301); index: (...,) int; lambdas: (..., 4) -> (..., 4)."""
     return spectra[index[..., None], lambdas]

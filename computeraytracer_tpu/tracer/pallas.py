@@ -289,6 +289,41 @@ def mesh_packs_for(scene, static: SceneStatic):
                  for part in static.mesh_parts)
 
 
+def _resolve(scene, static, backward, wavefront, tile_m, mesh_packs,
+             mesh_plans):
+    """Resolve dispatch knobs + mesh packs shared by every entry point."""
+    if static is None:
+        static = SceneStatic.from_scene(scene)
+    if wavefront is None:
+        wavefront = MESH_WAVEFRONT_DEFAULT
+    wavefront = bool(wavefront and static.mesh_parts)
+    if tile_m is None:
+        tile_m = mk.MESH_TILE_M if static.mesh_parts else mk.DEFAULT_TILE_M
+    mesh_arrays = ()
+    if static.mesh_parts:
+        if mesh_packs is None:
+            from computeraytracer_tpu.kernels import meshpack
+            if mesh_plans is None:
+                try:
+                    mesh_plans = tuple(
+                        meshpack.plan_scene_mesh(scene, part)
+                        for part in static.mesh_parts)
+                except jax.errors.TracerArrayConversionError as e:
+                    raise ValueError(
+                        "mesh scene with traced geometry: compute "
+                        "mesh_plans from the concrete initial scene "
+                        "(kernels/meshpack.plan_scene_mesh) outside "
+                        "jit/grad and pass them through") from e
+            mesh_packs = tuple(
+                meshpack.pack_scene_mesh(scene, part, plan)
+                for part, plan in zip(static.mesh_parts, mesh_plans))
+        mesh_arrays = tuple(jnp.asarray(a) for p in mesh_packs
+                            for a in p.arrays)
+        if backward == "pallas":
+            backward = "replay"
+    return static, backward, wavefront, tile_m, mesh_arrays
+
+
 def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                    rr_start: int = 1, tile_m: int | None = None,
                    static: SceneStatic | None = None,
@@ -322,35 +357,9 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
     resolves by total triangle count. Results are bit-identical either
     way — only the residency of tri_rows changes.
     """
-    if static is None:
-        static = SceneStatic.from_scene(scene)
-    if wavefront is None:
-        wavefront = MESH_WAVEFRONT_DEFAULT
-    wavefront = bool(wavefront and static.mesh_parts)
-    if tile_m is None:
-        tile_m = mk.MESH_TILE_M if static.mesh_parts else mk.DEFAULT_TILE_M
-    mesh_arrays = ()
-    if static.mesh_parts:
-        if mesh_packs is None:
-            from computeraytracer_tpu.kernels import meshpack
-            if mesh_plans is None:
-                try:
-                    mesh_plans = tuple(
-                        meshpack.plan_scene_mesh(scene, part)
-                        for part in static.mesh_parts)
-                except jax.errors.TracerArrayConversionError as e:
-                    raise ValueError(
-                        "mesh scene with traced geometry: compute "
-                        "mesh_plans from the concrete initial scene "
-                        "(kernels/meshpack.plan_scene_mesh) outside "
-                        "jit/grad and pass them through") from e
-            mesh_packs = tuple(
-                meshpack.pack_scene_mesh(scene, part, plan)
-                for part, plan in zip(static.mesh_parts, mesh_plans))
-        mesh_arrays = tuple(jnp.asarray(a) for p in mesh_packs
-                            for a in p.arrays)
-        if backward == "pallas":
-            backward = "replay"
+    (static, backward, wavefront, tile_m,
+     mesh_arrays) = _resolve(scene, static, backward, wavefront, tile_m,
+                             mesh_packs, mesh_plans)
     r = o.shape[0]
     tile = tile_m * LANES
     r_pad = ((r + tile - 1) // tile) * tile
@@ -379,6 +388,18 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                           jnp.float32).at[:, :r].set(spect)
     spect_p = spect.reshape(s_n * 4, m, LANES)
 
+    out = _dispatch(scene, static, rays, seeds, spect_p, max_depth,
+                    rr_start, tile_m, backward, wavefront, stream_tris,
+                    mesh_arrays)
+    return out.reshape(4, r_pad)[:, :r].T  # (R, 4)
+
+
+def _dispatch(scene, static, rays, seeds, spect_p, max_depth, rr_start,
+              tile_m, backward, wavefront, stream_tris, mesh_arrays):
+    """Run the megakernel on pre-built planes -> radiance (4, M, LANES).
+
+    rays (6, M, LANES) f32, seeds (4, M, LANES) u32, spect_p
+    (S*4, M, LANES) f32; backward/wavefront resolved by the caller."""
     interpret = _use_interpret()
 
     if backward == "replay":
@@ -414,7 +435,7 @@ def trace_radiance(scene, o, d, lambdas, seed, max_depth: int,
                               tile_m, interpret, False, stream_tris)
         out = fwd(mk.pack_prims(scene, static), rays, seeds, spect_p,
                   *mesh_arrays)
-    return out.reshape(4, r_pad)[:, :r].T  # (R, 4)
+    return out
 
 
 def render_pixels(scene, width: int, height: int, px, py, sample,
@@ -477,6 +498,117 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
 
     run_cv.defvjp(run_fwd, run_bwd)
     return run_cv(scene, sample_u)
+
+
+def render_pixels_planar(scene, width: int, height: int, px, py, sample,
+                         max_depth: int = 8, rr_start: int = 1,
+                         static: SceneStatic | None = None,
+                         backward: str = "pallas", mesh_packs=None,
+                         tile_m: int | None = None, mesh_plans=None,
+                         wavefront: bool | None = None,
+                         stream_tris: bool | None = None):
+    """render_pixels in planar layout -> XYZ (3, R), ray axis minor.
+
+    The production hot path. Two TPU-layout facts drive it:
+
+    1. Every (R, k) array with k in {3, 4, 6} pads its minor dim to 128
+       lanes under TPU (8, 128) tiling — a 21-42x HBM and vector-lane
+       blowup on multi-hundred-MB per-ray intermediates. Here RNG
+       state, ray origins/directions, radiance, and XYZ all keep the
+       ray axis minor ((k, R) planes), feeding the megakernel's
+       (k, M, 128) operands with plain reshapes instead of relayouts.
+    2. Per-ray table lookups (spectra, CIE) become ONE hero-indexed
+       one-hot MXU contraction over the hero-expanded tables
+       (ops/spectrum.py:gather_hero_planar): the 4 companion
+       wavelengths are (hero + 4j) % 301 (wgsl:315-322), so they fold
+       into rolled table rows instead of per-ray gather sites. Measured
+       on v5e at 1024^2: 0.08 ms vs 25 ms for the (R, k) gathers this
+       replaces, and the backward is the transposed fused dot.
+
+    Radiance is bit-identical to render_pixels (same draws, same op
+    order); use render_pixels when the caller wants (R, 3).
+    """
+    if backward == "xla":  # recompute-vjp path stays on the (R, 3) API
+        return render_pixels(scene, width, height, px, py, sample,
+                             max_depth, rr_start, static=static,
+                             backward=backward, mesh_packs=mesh_packs,
+                             tile_m=tile_m, mesh_plans=mesh_plans,
+                             wavefront=wavefront,
+                             stream_tris=stream_tris).T
+    if static is None:
+        static = SceneStatic.from_scene(scene)
+    scene = scene_data.as_jax(scene)
+    sample_u = jnp.asarray(sample, jnp.uint32)
+    (static, backward, wavefront, tile_m,
+     mesh_arrays) = _resolve(scene, static, backward, wavefront, tile_m,
+                             mesh_packs, mesh_plans)
+
+    seed = rng.seed_pixel_p(px, py, sample_u)
+    o_p, d_p, seed = cam_ops.camera_rays_p(
+        scene.camera.eye, scene.camera.lookat, scene.camera.up,
+        scene.camera.fov, width, height, px, py, sample_u, seed)
+    hero, seed = spec.sample_wavelengths_p(seed)
+
+    r = px.shape[0]
+    tile = tile_m * LANES
+    r_pad = ((r + tile - 1) // tile) * tile
+    m = r_pad // LANES
+
+    def pad_p(x):
+        if r_pad == r:
+            return x
+        return jnp.zeros(x.shape[:-1] + (r_pad,),
+                         x.dtype).at[..., :r].set(x)
+
+    rays = pad_p(jnp.concatenate([o_p, d_p], axis=0)).reshape(6, m, LANES)
+    seeds = pad_p(seed).reshape(4, m, LANES)
+    hero_p = pad_p(hero)  # padded lanes select column 0: never consumed
+    s_n = scene.spectra.shape[0]
+    table = jnp.concatenate([spec.expand_hero_table(scene.spectra),
+                             spec.cie_window_exp(scene.cie)], axis=0)
+    planes = spec.gather_hero_planar(table, hero_p)  # (s_n*4+12, r_pad)
+    spect_p = planes[:s_n * 4].reshape(s_n * 4, m, LANES)
+    cie_p = planes[s_n * 4:, :r]
+    out = _dispatch(scene, static, rays, seeds, spect_p, max_depth,
+                    rr_start, tile_m, backward, wavefront, stream_tris,
+                    mesh_arrays)
+    radiance = out.reshape(4, r_pad)[:, :r]
+    return spec.spectral_to_xyz_p(cie_p, radiance)
+
+
+def render_sample_planar(scene, width: int, height: int, sample,
+                         max_depth: int = 8, rr_start: int = 1,
+                         static: SceneStatic | None = None,
+                         backward: str = "pallas", mesh_packs=None,
+                         tile_m: int | None = None, mesh_plans=None,
+                         wavefront: bool | None = None,
+                         stream_tris: bool | None = None, **_):
+    """render_sample in planar layout -> XYZ (3, height, width).
+
+    Same pixel order and values as render_sample; the (3, H, W) image
+    keeps W minor so accumulation loops over samples never touch a
+    padded (H, W, 3) layout (which TPU pads 42x)."""
+    if static is None:
+        static = SceneStatic.from_scene(scene)
+    if static.mesh_parts and mesh_packs is None and mesh_plans is None:
+        mesh_packs = mesh_packs_for(scene, static)
+    order = None
+    if static.mesh_parts:
+        tm = tile_m if tile_m is not None else mk.MESH_TILE_M
+        order = _block_order(width, height, tm * LANES)
+    if order is None:
+        px, py = xla_tracer.tile_coords(width, height, 0)
+    else:
+        px, py, inv = (jnp.asarray(a) for a in order)
+    xyz = render_pixels_planar(scene, width, height, px, py, sample,
+                               max_depth, rr_start, static=static,
+                               backward=backward, mesh_packs=mesh_packs,
+                               tile_m=tile_m, mesh_plans=mesh_plans,
+                               wavefront=wavefront,
+                               stream_tris=stream_tris)
+    if order is not None:
+        xyz = jnp.take(xyz, inv, axis=1)
+    return xyz.reshape(3, height, width)
 
 
 @functools.lru_cache(maxsize=32)

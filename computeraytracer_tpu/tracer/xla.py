@@ -51,7 +51,16 @@ def _vis_domains(vis_grads):
         return ()
     if vis_grads is True:
         return ("screen", "light", "hemi")
-    return tuple(vis_grads)
+    if isinstance(vis_grads, str):
+        # tuple("screen") would silently become ('s','c','r',...) —
+        # no warp enabled but a truthy domains tuple still switching
+        # the render to unstratified jitter
+        vis_grads = (vis_grads,)
+    domains = tuple(vis_grads)
+    bad = set(domains) - {"screen", "light", "hemi"}
+    if bad:
+        raise ValueError(f"unknown vis_grads domains: {sorted(bad)}")
+    return domains
 
 
 class PathState(NamedTuple):
@@ -339,9 +348,16 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
 
     vis_grads=True turns on the warped-area reparameterization
     (ops/warp.py) of the screen, light-area and hemisphere sampling
-    domains: primal values are bit-identical, but AD additionally
-    captures the visibility boundary terms (moving silhouettes and
-    shadows) that interior gradients miss.
+    domains, so AD additionally captures the visibility boundary terms
+    (moving silhouettes and shadows) that interior gradients miss.
+    Primal values are bit-identical ACROSS vis_grads modes (any warp
+    subset, including all three, evaluates to the identity at the
+    primal point) — but they differ from the vis_grads=False render,
+    because every vis_grads mode disables pixel stratification (see
+    film_coords: the reference's shared-stratum jitter is diagonal-
+    correlated inside the pixel, which biases the warp's 2D
+    boundary-integral estimator). Compare vis_grads renders against
+    vis_grads-mode targets, not against default-rendered goldens.
     """
     from computeraytracer_tpu.scene import data as scene_data
     scene = scene_data.as_jax(scene)
@@ -351,6 +367,15 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
     seed = rng.seed_pixel(px, py, sample_u)
     cam = scene.camera
     domains = _vis_domains(vis_grads)
+    if "screen" in domains and jnp.shape(px)[0] != width * height:
+        # _splat_correction scatters flux via lin = py*width + px into
+        # the per-ray array assuming full-film row-major rays; a tiled
+        # caller (api._band_accumulate, parallel/render_sharded) would
+        # silently corrupt screen-warp gradients
+        raise ValueError(
+            "vis_grads 'screen' requires full-film rays "
+            f"(got {jnp.shape(px)[0]} rays for {width}x{height}); "
+            "use the 'light'/'hemi' domains for tiled renders")
     if domains:
         # any vis_grads mode renders with unstratified pixel jitter (see
         # film_coords: the reference's shared-stratum scheme is diagonal-

@@ -66,7 +66,10 @@ def render_mean_xyz(scene, width, height, spp, max_depth, rr_start=1,
     when tracing inside jit/grad).
 
     vis_grads=True (xla kernel only) enables the warped-area visibility
-    gradients (ops/warp.py): bit-identical primal, boundary-aware AD."""
+    gradients (ops/warp.py): boundary-aware AD, primal bit-identical
+    across vis_grads modes — but NOT to the vis_grads=False render
+    (vis_grads disables pixel stratification; see
+    tracer/xla.py:render_pixels)."""
     if kernel == "pallas":
         from computeraytracer_tpu.tracer import pallas as pallas_tracer
         if kernel_static is None:
