@@ -61,13 +61,21 @@ Weights prefer the NEAREST surface (exp(-beta (z - z_min)/z_min)):
 the occluder owns the silhouette, so the field approaches the
 occluder's velocity on both sides of the boundary.
 
-Scope (documented limitation): boundary terms are captured for the
-screen, light-area (NEE shadow) and cosine-hemisphere domains on
-diffuse vertices; specular (glass) chains and rotation-induced
-tangential silhouette motion remain approximated; cost is 2*K
-auxiliary closest-hit scans per warped domain per bounce. Off by
-default (vis_grads=False); intended for the gradient-oracle XLA path
-(tracer/xla.py), not the Pallas production kernel.
+Scope and measured accuracy (tests/test_visibility_grads.py):
+boundary terms are captured for the screen, light-area (NEE shadow)
+and cosine-hemisphere domains on diffuse vertices. On an analytic 2D
+step and on normal-incidence occlusion the AD flux lands within ~5-10%
+of the closed form / converged FD; on the full renderer the screen
+silhouette matches FD within MC noise (~10-25%), while strongly
+OBLIQUE projective geometry (shadow rays leaving the surface far from
+the light-plane normal) plus silhouette CORNERS degrade the light-
+domain capture to ~0.5-0.7 of the FD flux — the straight-edge
+coverage model and the domain-border taper are the approximations.
+Specular (glass) chains and rotation-induced tangential silhouette
+motion remain out of scope; cost is 2*K auxiliary closest-hit scans
+per warped domain per bounce. Off by default (vis_grads=False);
+intended for the gradient-oracle XLA path (tracer/xla.py), not the
+Pallas production kernel.
 """
 
 from __future__ import annotations
@@ -150,21 +158,28 @@ def material_point(prims, idx, p):
 
 
 def _edge_taper(uv, margins):
-    """Smooth envelope: 1 in the domain interior, 0 on [0,1] edges.
+    """Per-axis envelope: 1 in the domain interior, 0 on [0,1] edges.
 
     The true loss integrates over a FIXED domain, so its derivative has
     no flux term at the domain boundary; the warp estimator would add a
-    spurious \\oint f V.n there unless the velocity field vanishes on
-    the boundary. margins: per-axis taper width, or None for a periodic
-    axis (no taper)."""
-    env = 1.0
+    spurious \\oint f V.n there unless V.n vanishes on the boundary.
+    Returns an (..., 2) per-COMPONENT envelope: env[..., ax] damps only
+    V_ax near the ax-borders (where it is the border-normal component).
+    Killing just the normal component zeroes the spurious border flux
+    exactly while PRESERVING the flux across a silhouette that exits
+    transversally through the border (its normal there is the border-
+    tangent direction) — a scalar taper measured ~2x flux loss on
+    shadow boundaries crossing a compact light domain. margins:
+    per-axis taper width, or None for a periodic axis (no damping)."""
+    envs = []
     for ax, m in enumerate(margins):
         if m is None:
+            envs.append(jnp.ones_like(uv[..., ax]))
             continue
         x = jnp.clip(jnp.minimum(uv[..., ax], 1.0 - uv[..., ax]) / m,
                      0.0, 1.0)
-        env = env * (x * x * (3.0 - 2.0 * x))
-    return env
+        envs.append(x * x * (3.0 - 2.0 * x))
+    return jnp.stack(envs, axis=-1)
 
 
 def _reparam(field, uv, margins=None):
@@ -175,8 +190,7 @@ def _reparam(field, uv, margins=None):
     field."""
     if margins is not None:
         raw = field
-        field = lambda uv: uv + _edge_taper(uv, margins)[..., None] * (
-            raw(uv) - uv)
+        field = lambda uv: uv + _edge_taper(uv, margins) * (raw(uv) - uv)
     e0 = jnp.zeros_like(uv).at[..., 0].set(1.0)
     e1 = jnp.zeros_like(uv).at[..., 1].set(1.0)
     f, df0 = jax.jvp(field, (uv,), (e0,))
@@ -194,37 +208,67 @@ def _make_field(a_k, s_k, z_k, idx_k, bandwidth, beta):
     were built at stop_grad(u)); s_k: (..., K, 2) aux target points
     (theta-attached; their theta-derivative is the material velocity);
     z_k: (..., K) theta-detached depths (misses carry _BIG); idx_k:
-    (..., K) hit primitive ids (misses -1). The u-dependence is
-    ANALYTIC through the Gaussian kernel exp(-|u - a_k|^2 / bw^2):
-    the aux hits themselves flip DISCONTINUOUSLY in u, so any
-    u-dependence routed through re-traced aux rays is invisible to AD.
+    (..., K) hit primitive ids (misses -1).
 
-    Structure: F(u) = u + G(u) * (C(u) - u), where C is the
+    Structure: F(u') = u' + G(u') * (C(u') - u'), where C is the
     nearest-surface-preferring centroid (the occluder owns the
     silhouette, so C's theta-velocity approaches the occluder velocity
-    at the boundary) and G = 4 p (1-p) is a smooth bump on the
-    kernel-weighted FOREGROUND fraction p (foreground = aux rays that
-    resolved to the same primitive as the nearest aux hit). G is 1 on
-    the discontinuity (p = 1/2), decays to 0 at ring distance, and is
-    identically 0 for uniform rings — so smooth regions carry ZERO
-    velocity (exactly valid: where the integrand is continuous any
-    field satisfies the boundary identity) instead of a large
-    only-cancels-in-expectation one, and the bump's own divergence
-    integrates to the boundary flux: crossing the edge, G rises on one
-    side and falls on the other, giving f_bg*v - f_fg*v = -[f] v. G is
-    theta-constant (ids/depths are frozen), so d/dtheta F = G * dC."""
+    at the boundary) and G = 4 p (1-p) is a smooth bump on the local
+    FOREGROUND COVERAGE p (foreground = aux rays that resolved to the
+    same primitive as the nearest aux hit). G is 1 on the discontinuity
+    (p = 1/2), decays to 0 at ring distance, and is identically 0 for
+    uniform rings — so smooth regions carry ZERO velocity (exactly
+    valid there). G is theta-constant (ids/depths are frozen), so
+    d/dtheta F = G * dC.
+
+    Self-consistency is load-bearing. The estimator integrates each
+    sample's LOCAL u'-derivative of the field, so the per-sample
+    profile must match how the field actually varies along the
+    diagonal u -> F_u(u): any u-dependence that flows through the
+    DISCRETE aux classification (flags flipping as the ring crosses
+    the silhouette) is invisible to AD, and a kernel-reweighting field
+    over fixed flags under-integrates the boundary flux by ~40%
+    (measured on an analytic step). The fix implemented here
+    reconstructs the silhouette ANALYTICALLY per sample:
+      - edge normal n (toward background) from the fg/bg centroid
+        split of the ring offsets,
+      - signed edge distance delta from the coverage fraction via the
+        EXACT straight-edge ring-coverage inverse: a straight edge at
+        distance d from the ring center covers arc fraction
+        p(d) = 1 - arccos(d / R) / pi, so delta = -R cos(pi p_bar) —
+        the same function pair both ways, which is what makes the
+        local derivative integrate to G(edge) exactly for straight
+        edges (tests/test_visibility_grads.py pins the synthetic-step
+        response at ~1.0; the old kernel-p field measured ~0.6),
+      - analytic coverage profile p(u') = 1 - arccos((delta -
+        (u' - u) . n) / R) / pi with frozen delta, n.
+    The per-sample delta is a staircase estimate of the true distance
+    (K discrete aux), but its error is mean-zero along the edge, so
+    the integrated flux is first-order exact."""
     z_min = jnp.min(z_k, axis=-1, keepdims=True)
     pref = jnp.exp(-beta * (z_k - z_min) / jnp.maximum(z_min, 1e-6))
     near = jnp.argmin(z_k, axis=-1)
     idx_near = jnp.take_along_axis(idx_k, near[..., None], axis=-1)
     fg = (idx_k == idx_near).astype(jnp.float32)
 
+    center = jnp.mean(a_k, axis=-2)                      # == sg(u)
+    offs = a_k - center[..., None, :]
+    R = jnp.float32(bandwidth)
+    p_bar = jnp.mean(fg, axis=-1)
+    # outward (toward-background) edge normal from the classification
+    nvec = -jnp.sum(offs * (fg - p_bar[..., None])[..., None], axis=-2)
+    nlen = jnp.sqrt(jnp.maximum(jnp.sum(nvec * nvec, axis=-1), 1e-20))
+    n_hat = nvec / jnp.maximum(nlen[..., None], 1e-10)
+    delta = -R * jnp.cos(jnp.pi * p_bar)
+    eps = jnp.float32(1e-3)
+
     def field(uv):
+        # analytic coverage: all u'-dependence through the profile
+        h = (delta - jnp.sum((uv - center) * n_hat, axis=-1)) / R
+        p = 1.0 - jnp.arccos(jnp.clip(h, eps - 1.0, 1.0 - eps)) / jnp.pi
+        g = 4.0 * p * (1.0 - p)
         d2 = jnp.sum((uv[..., None, :] - a_k) ** 2, axis=-1)
         b = jnp.exp(-d2 / (bandwidth * bandwidth))
-        b_sum = jnp.maximum(jnp.sum(b, axis=-1), 1e-12)
-        p = jnp.sum(b * fg, axis=-1) / b_sum
-        g = 4.0 * p * (1.0 - p)
         w = b * pref
         w_sum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
         c = jnp.sum(w[..., None] * s_k, axis=-2) / w_sum
@@ -323,7 +367,7 @@ def light_warp(scene, shade_pos, exclude, l_origin, l_e1, l_e2, l_prim,
     idx_k = jnp.where(occluded, sh.index, isect.NO_INDEX)
 
     field = _make_field(a_k, s_k, z_k, idx_k, bandwidth=radius, beta=beta)
-    uv_w, detj = _reparam(field, uv, margins=(2 * radius, 2 * radius))
+    uv_w, detj = _reparam(field, uv, margins=(0.5 * radius, 0.5 * radius))
     detj = jnp.where(active, detj, 1.0)
     u_w = jnp.where(active, uv_w[..., 0], u)
     v_w = jnp.where(active, uv_w[..., 1], v)
@@ -380,7 +424,7 @@ def hemisphere_warp(scene, shade_pos, normal, exclude, u, v, active,
 
     field = _make_field(a_k, s_k, z_k, idx_k, bandwidth=radius, beta=beta)
     # v is periodic (angular): taper only the radial u axis
-    uv_w, detj = _reparam(field, uv, margins=(2 * radius, None))
+    uv_w, detj = _reparam(field, uv, margins=(0.5 * radius, None))
     detj = jnp.where(active, detj, 1.0)
     u_w = jnp.where(active, uv_w[..., 0], u)
     v_w = jnp.where(active, uv_w[..., 1], v)

@@ -165,6 +165,40 @@ def unoccluded_scene(width: int = 256, height: int = 256) -> dict:
     return doc
 
 
+def occluder_scene(width: int = 256, height: int = 256) -> dict:
+    """Floating diffuse occluder between light and floor: the scene for
+    visibility-GRADIENT tests (ops/warp.py).
+
+    Translating the occluder moves two visibility boundaries whose
+    image-derivative interior AD misses entirely:
+    - its screen silhouette (dim camera-facing front against the lit
+      back wall), a solid mid-image block — the "screen" warp domain;
+    - its soft shadow on the floor in front of it, bottom rows — the
+      "light" (NEE shadow ray) and "hemi" (MIS bounce-to-light)
+      domains.
+    Geometry keeps the two bands separated: the occluder is a vertical
+    camera-facing patch floating at y in [1.1, 1.9], z = 0.6, and its
+    shadow (cast by the y=3.2 light) lands on floor z > 0.5 (bottom
+    image rows); the wall behind the silhouette block is unshadowed, so
+    each band isolates its warp domains. No glass, no spheres: every
+    boundary term is a diffuse silhouette the warped-area estimator
+    covers."""
+    doc = simple_scene(width, height)
+    doc["objects"]["spheres"] = []
+    doc["objects"]["patches"] = [
+        # oversized floor + back wall (their own edges stay off-screen)
+        _patch([-5, 0, -3], [0, 0, 10], [10, 0, 0], "white"),
+        _patch([-5, 0, -3], [10, 0, 0], [0, 9, 0], "white"),
+        # compact light, fully outside the frustum: crisp shadow, no
+        # direct-glare pixels
+        _patch([-0.4, 3.2, -1.0], [0.8, 0, 0], [0, 0, 0.8],
+               "white", "light", "light"),
+        # the occluder: vertical camera-facing patch under the light
+        _patch([-0.4, 1.1, 0.6], [0.8, 0, 0], [0, 0.8, 0], "red"),
+    ]
+    return doc
+
+
 def mesh_scene(width: int = 1024, height: int = 1024,
                subdivisions: int = 6) -> dict:
     """BASELINE config-3 style scene: Cornell walls + a ~70K-triangle

@@ -339,7 +339,7 @@ def path_trace(scene, o, d, lambdas, seed, max_depth: int,
 def render_pixels(scene, width: int, height: int, px, py, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   use_remat: bool = True, bvh=None,
-                  vis_grads: bool = False):
+                  vis_grads: bool = False, stratified: bool = True):
     """Trace one sample for explicit pixel coordinates px, py (R,).
 
     Seeds derive from GLOBAL pixel coordinates and the 1-based sample
@@ -376,12 +376,15 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
             "vis_grads 'screen' requires full-film rays "
             f"(got {jnp.shape(px)[0]} rays for {width}x{height}); "
             "use the 'light'/'hemi' domains for tiled renders")
-    if domains:
+    if domains or not stratified:
         # any vis_grads mode renders with unstratified pixel jitter (see
         # film_coords: the reference's shared-stratum scheme is diagonal-
         # correlated inside the pixel, which biases the warp's 2D
         # boundary-integral estimator); the screen warp itself is only
-        # applied when requested
+        # applied when requested. stratified=False alone gives the SAME
+        # primal render without the warp machinery (warps are primally
+        # the exact identity) — the cheap evaluation path for finite
+        # differences against vis_grads AD (tests/test_visibility_grads).
         frame = cam_ops.film_frame(cam.eye, cam.lookat, cam.up, cam.fov,
                                    width, height)
         s, t, seed = cam_ops.film_coords(width, height, px, py, sample_u,
@@ -417,7 +420,7 @@ def tile_coords(width: int, tile_h: int, y0):
 def render_sample(scene, width: int, height: int, sample,
                   max_depth: int = 8, rr_start: int = 1,
                   use_remat: bool = True, bvh=None,
-                  vis_grads: bool = False):
+                  vis_grads: bool = False, stratified: bool = True):
     """One progressive sample: XYZ contribution image (H, W, 3).
 
     `sample` is the 1-based sample counter (wgsl main :77-117). The
@@ -426,7 +429,7 @@ def render_sample(scene, width: int, height: int, sample,
     px, py = tile_coords(width, height, 0)
     xyz = render_pixels(scene, width, height, px, py, sample, max_depth,
                         rr_start, use_remat, bvh=bvh,
-                        vis_grads=vis_grads)
+                        vis_grads=vis_grads, stratified=stratified)
     return xyz.reshape(height, width, 3)
 
 
