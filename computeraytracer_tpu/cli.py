@@ -63,7 +63,39 @@ def cmd_render(args) -> int:
 
     meter = RenderMeter(jsonl_path=args.metrics)
     meter.start()
-    if args.sharded:
+    if getattr(args, "progressive", 0):
+        # the reference's defining behavior is live progressive
+        # refinement: 1 spp per animation frame into a never-cleared
+        # accumulator, blitted every frame (main.js:584-623). The CLI
+        # analogue renders in --progressive N sample chunks, rewriting
+        # --out from the running accumulator after each chunk — the
+        # image sharpens in place while total spp climbs. Counter-based
+        # seeding makes the chunked accumulation bit-identical to one
+        # --spp shot (tests/test_utils_cli.py pins it).
+        if args.sharded:
+            print("--progressive ignores --sharded (single-host loop)",
+                  file=sys.stderr)
+        if args.kernel == "pallas":
+            from computeraytracer_tpu.tracer import pallas as tracer_mod
+        else:
+            from computeraytracer_tpu.tracer import xla as tracer_mod
+        accum = None
+        done = 0
+        while done < args.spp:
+            n = min(args.progressive, args.spp - done)
+            part = tracer_mod.render_accumulate(
+                scene, w, h, spp=n, max_depth=args.depth,
+                first_sample=done + 1,
+                **({"bvh": bvh} if args.kernel == "xla" else {}))
+            part = jax.block_until_ready(part)
+            accum = part if accum is None else accum + part
+            done += n
+            mean = np.asarray(accum) / done
+            srgb = np.asarray(color.xyz_to_srgb(mean, args.exposure))
+            write_png(args.out, srgb)
+            print(f"progressive: {done}/{args.spp} spp -> {args.out}",
+                  file=sys.stderr)
+    elif args.sharded:
         from computeraytracer_tpu.parallel import mesh as mesh_mod
         from computeraytracer_tpu.parallel import render_sharded
         mesh = mesh_mod.make_mesh()
@@ -159,6 +191,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--sharded", action="store_true",
                    help="shard over all visible devices")
     r.add_argument("--exposure", type=float, default=2.2)
+    r.add_argument("--progressive", type=int, default=0, metavar="N",
+                   help="rewrite --out every N samples from the running "
+                   "accumulator (the reference's rAF refinement loop)")
     r.add_argument("--metrics", help="append metrics JSONL here")
     r.add_argument("--profile", help="capture an XProf trace to this dir")
     r.set_defaults(fn=cmd_render)

@@ -11,16 +11,17 @@ BVH traversal is no answer on TPU (per-lane gathers, ~0.002 Mpaths/s
 through XLA). The TPU answer is to make the irregular traversal DENSE:
 
   1. candidate pass (XLA): slab-test every ray against every chunk
-     AABB as pure vector math, blocked over chunks, keeping each ray's
-     K nearest candidate chunks by entry distance. Selection is K
-     rounds of masked argmin — NOT jax.lax.top_k and NOT any sort;
-     both measured catastrophically slow on v5e (~350 ms / ~190 ms for
-     this problem size, more than the whole cast should cost).
-  2. pair pass (Pallas): (ray, candidate-slot) pairs in ray-major
-     order — film-order rays are spatially coherent, so a (8, 128)
-     pair tile touches few distinct chunks. The kernel repeatedly
-     scans the smallest unprocessed chunk id in the tile: 128
-     triangles broadcast against 1024 pair lanes, full occupancy.
+     AABB as pure planar vector math, blocked over chunks, keeping
+     each ray's K nearest candidate chunks by entry distance, culled
+     by the unrolled-scene occlusion bound (walls/patches: a chunk
+     entered behind the bound can never win). Selection is K rounds
+     of masked argmin (jax.lax.top_k measured ~350 ms for this
+     problem size on v5e).
+  2. pair pass (Pallas): (ray, candidate-slot) pairs argsorted by
+     CHUNK id, so a (8, 128) pair tile spans 1-2 distinct chunks and
+     every 128-triangle scan serves ~all 1024 lanes, independent of
+     ray coherence. The kernel repeatedly scans the smallest
+     unprocessed chunk id in the tile.
   3. reduce (XLA): fold each ray's K slots with the kernel's exact
      tie rule -> per-ray closest mesh hit.
 
@@ -56,29 +57,37 @@ from computeraytracer_tpu.kernels import meshpack
 LANES = mk.LANES
 T_MIN = mk.T_MIN
 DEFAULT_K = 16        # candidate chunks per ray (slots; padded with -1)
-CAND_BLOCK = 512      # chunks slab-tested per top-K merge round
+CAND_BLOCK = 1024     # chunks slab-tested per top-K merge round
 PAIR_TILE_M = 8       # (8, 128) = 1024 pairs per pair-kernel grid step
 
 
 def _slab_t_enter(cbox_blk, o, d, t_bound):
     """Entry distance of each ray into each chunk AABB, +inf on miss.
 
-    cbox_blk (B, 8) f32 [lo.xyz, hi.xyz, pad, pad]; o, d (R, 3);
-    t_bound (R,). Mirrors megakernel._scan_mesh_part.slab_any per-lane
-    (same Ize-2013 4-ulp interval padding, same degenerate-box and
-    axis-parallel handling) so the candidate set is a superset of every
-    chunk the in-kernel walk would scan for that ray. Returns (R, B).
+    cbox_blk (B, 8) f32 [lo.xyz, hi.xyz, pad, pad]; o, d are COMPONENT
+    TUPLES of (R,) f32 (planar layout: a stacked (R, 3) here would pad
+    its 3-wide minor dim to 128 TPU lanes and make every (R, B, 3)
+    intermediate ~42x larger than the (R, B) output); t_bound (R,).
+    Mirrors megakernel._scan_mesh_part.slab_any per-lane (same Ize-2013
+    4-ulp interval padding, same degenerate-box and axis-parallel
+    handling, and min/max are exact so the per-component loop matches
+    the old axis reduction bit-for-bit) so the candidate set is a
+    superset of every chunk the in-kernel walk would scan for that ray.
+    Returns (R, B).
     """
-    tiny = jnp.abs(d) < 1e-12
-    sign = jnp.where(d < 0.0, -1.0, 1.0)
-    inv_d = jnp.where(tiny, sign * jnp.float32(1e30),
-                      1.0 / jnp.where(tiny, 1.0, d))          # (R, 3)
-    lo = cbox_blk[None, :, 0:3]                                # (1, B, 3)
-    hi = cbox_blk[None, :, 3:6]
-    t0 = (lo - o[:, None, :]) * inv_d[:, None, :]              # (R, B, 3)
-    t1 = (hi - o[:, None, :]) * inv_d[:, None, :]
-    t_enter = jnp.minimum(t0, t1).max(-1)
-    t_exit = jnp.maximum(t0, t1).min(-1)
+    R = o[0].shape[0]
+    B = cbox_blk.shape[0]
+    t_enter = jnp.full((R, B), -jnp.inf, jnp.float32)
+    t_exit = jnp.full((R, B), jnp.inf, jnp.float32)
+    for c in range(3):
+        tiny = jnp.abs(d[c]) < 1e-12
+        sign = jnp.where(d[c] < 0.0, -1.0, 1.0)
+        inv = jnp.where(tiny, sign * jnp.float32(1e30),
+                        1.0 / jnp.where(tiny, 1.0, d[c]))      # (R,)
+        t0 = (cbox_blk[None, :, c] - o[c][:, None]) * inv[:, None]
+        t1 = (cbox_blk[None, :, 3 + c] - o[c][:, None]) * inv[:, None]
+        t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
     pad = jnp.float32(4 * 2.0 ** -23)
     t_exit = t_exit + jnp.abs(t_exit) * pad
     t_enter_p = t_enter - jnp.abs(t_enter) * pad
@@ -90,14 +99,16 @@ def _slab_t_enter(cbox_blk, o, d, t_bound):
 def candidate_chunks(chunk_bbox, o, d, t_bound=None, k: int = DEFAULT_K):
     """K nearest candidate chunks per ray, by AABB entry distance.
 
-    chunk_bbox (C, 8) f32; o, d (R, 3) f32; t_bound (R,) optional cull
-    bound (padded by 8 ulp internally so a bound from differently-
-    rounded arithmetic can never drop the true winner's chunk).
+    chunk_bbox (C, 8) f32; o, d component tuples of (R,) f32 (planar);
+    t_bound (R,) optional cull bound (padded by 8 ulp internally so a
+    bound from differently-rounded arithmetic can never drop the true
+    winner's chunk) — pass the unrolled-scene winner's t here: chunks
+    entirely behind the walls produce no candidates at all, which is
+    most of a diffuse bounce population in an enclosed scene.
 
-    No jax.lax.top_k / sort anywhere: both measured catastrophically
-    slow on TPU (~350 ms for a (65K, 529) top-17; ~190 ms for a 1M-key
-    argsort). Selection is k rounds of masked argmin over the dense
-    entry-distance matrix — pure VPU reduce/select work. Blocks over
+    Selection is k rounds of masked argmin over the dense entry-
+    distance matrix — pure VPU reduce/select work (jax.lax.top_k
+    measured ~350 ms for a (65K, 529) top-17 on v5e). Blocks over
     chunks (CAND_BLOCK) bound the materialized matrix at config-5 C.
 
     Returns (cand (R, k) i32 chunk ids with -1 padding — the k smallest
@@ -106,7 +117,7 @@ def candidate_chunks(chunk_bbox, o, d, t_bound=None, k: int = DEFAULT_K):
     A found hit with t <= t_next is provably the global winner, and a
     total miss with t_next == +inf is provably a miss.
     """
-    R = o.shape[0]
+    R = o[0].shape[0]
     C = chunk_bbox.shape[0]
     if t_bound is None:
         t_bound = jnp.full((R,), jnp.inf, jnp.float32)
@@ -324,62 +335,77 @@ def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
     pack_arrays = (tri_rows, chunk_bbox, node_bbox, node_meta) per
     kernels/meshpack.py (node arrays unused here — the tree is the
     TILE path's structure; the binned path culls directly at chunk
-    granularity). o, d (R, 3) f32, exclude (R,) i32; active (R,) bool
-    masks rays that need no cast (their candidate set is emptied).
+    granularity). o, d component tuples of (R,) f32 (planar),
+    exclude (R,) i32; active (R,) bool masks rays that need no cast
+    (their candidate set is emptied).
 
-    Returns (t (R,), idx (R,), nrm (R, 3), resolved (R,) bool). Rays
-    with resolved=False found a hit but cannot prove it global (more
-    than k candidate chunks and the hit does not precede the first
-    omitted one) — the caller must finish them on the exact tree-walk
-    path.
+    Pairs are CHUNK-MAJOR: the (ray, slot) pairs are argsorted by
+    candidate chunk id, so every (8, 128) pair tile spans 1-2 distinct
+    chunks and the pair kernel's per-chunk scan serves ~every lane —
+    regardless of ray coherence. (The previous ray-major order kept
+    each ray's k slots adjacent; a tile then scanned the UNION of 64
+    rays' candidate sets while each lane accepted only its own chunk:
+    <=10% lane utilization even for coherent rays, and arbitrarily bad
+    after a diffuse bounce. A 1M-u32 argsort measures ~2-4 ms on v5e —
+    noise against the 10x kernel-utilization swing.) Dead pairs
+    (chunk -1, masked or beyond the ray's candidate count) sort to the
+    end, where all-dead tiles exit the kernel's scan loop immediately.
+
+    Returns (t (R,), idx (R,), nrm component tuple of (R,),
+    resolved (R,) bool). Rays with resolved=False found a hit but
+    cannot prove it global (more than k candidate chunks and the hit
+    does not precede the first omitted one) — the caller must finish
+    them on the exact tree-walk path.
     """
     tri_rows, chunk_bbox = pack_arrays[0], pack_arrays[1]
-    R = o.shape[0]
+    R = o[0].shape[0]
     cand, t_next = candidate_chunks(chunk_bbox, o, d, t_bound, k)
     if active is not None:
         cand = jnp.where(active[:, None], cand, -1)
 
-    # pairs stay in RAY-MAJOR order — no sort. Film-order rays are
-    # spatially coherent (neighbors share candidate chunks), so a pair
-    # tile's distinct-chunk count stays small without the 1M-key
-    # argsort a chunk-major grouping would need (~190 ms on v5e, more
-    # than the whole cast is worth). The pair kernel's min-scan loop
-    # handles whatever diversity remains.
     P = R * k
     tile = PAIR_TILE_M * LANES
     p_pad = -(-P // tile) * tile
     mp = p_pad // LANES
 
-    def plane3(x):
-        # (R, 3) ray columns -> 3 planes of (mp, LANES), k-replicated
-        cols = []
-        for c in range(3):
-            v = jnp.broadcast_to(x[:, c:c + 1], (R, k)).reshape(P)
-            if p_pad != P:
-                v = jnp.zeros((p_pad,), v.dtype).at[:P].set(v)
-            cols.append(v.reshape(mp, LANES))
-        return cols
+    # grouping and data movement ride ONE lax.sort each way: the ray
+    # data travels as sort PAYLOADS, so no gather ever runs. (Measured
+    # on v5e at 1M pairs: lax.sort with payloads ~1-3 ms vs ~10 ms for
+    # argsort and ~20 ms PER 1M-element jnp.take — the gather-based
+    # grouping cost more than the triangle work it organized.)
+    cand_flat = cand.reshape(P)
+    key = jnp.where(cand_flat >= 0, cand_flat.astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+    rep = lambda comp: jnp.broadcast_to(comp[:, None], (R, k)).reshape(P)
+    p0 = jnp.arange(P, dtype=jnp.int32)   # original (ray, slot) index
+    (_, chunk_s, p0_s, o0s, o1s, o2s, d0s, d1s, d2s,
+     ex_s) = jax.lax.sort(
+        (key, cand_flat, p0, rep(o[0]), rep(o[1]), rep(o[2]),
+         rep(d[0]), rep(d[1]), rep(d[2]),
+         rep(exclude.astype(jnp.int32))), num_keys=1)
 
     def plane1(v, fill):
         if p_pad != P:
             v = jnp.full((p_pad,), fill, v.dtype).at[:P].set(v)
         return v.reshape(mp, LANES)
 
-    ex_p = jnp.broadcast_to(exclude[:, None], (R, k)).reshape(P)
-    pair_f = jnp.stack(plane3(o) + plane3(d)
+    pair_f = jnp.stack([plane1(c, 0.0)
+                        for c in (o0s, o1s, o2s, d0s, d1s, d2s)]
                        + [jnp.zeros((mp, LANES), jnp.float32)])
-    pair_i = jnp.stack([plane1(cand.reshape(P), -1),
-                        plane1(ex_p.astype(jnp.int32), -1)])
+    pair_i = jnp.stack([plane1(chunk_s, -1), plane1(ex_s, -1)])
 
     f = build_pair_kernel(int(tri_rows.shape[0]), interpret, stream_tris)
     out_f, out_i = f(pair_f, pair_i, tri_rows)
 
-    # reduce the k slots per ray with the exact tie rule (no unsort
-    # needed: pairs never left (ray, slot) order)
-    t_rk = out_f[0].reshape(p_pad)[:P].reshape(R, k)
-    i_rk = out_i[0].reshape(p_pad)[:P].reshape(R, k)
-    n_rk = [out_f[1 + c].reshape(p_pad)[:P].reshape(R, k)
-            for c in range(3)]
+    # restore (ray, slot) order the same way: sort on the carried
+    # original index, kernel outputs as payloads
+    trim = lambda a: a.reshape(p_pad)[:P]
+    (_, t_s, i_s, n0s, n1s, n2s) = jax.lax.sort(
+        (p0_s, trim(out_f[0]), trim(out_i[0]), trim(out_f[1]),
+         trim(out_f[2]), trim(out_f[3])), num_keys=1)
+    t_rk = t_s.reshape(R, k)
+    i_rk = i_s.reshape(R, k)
+    n_rk = [n0s.reshape(R, k), n1s.reshape(R, k), n2s.reshape(R, k)]
 
     t_w = jnp.full((R,), jnp.inf, jnp.float32)
     i_w = jnp.full((R,), -1, jnp.int32)
@@ -389,7 +415,7 @@ def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
             t_w, i_w, n_w, t_rk[:, s], i_rk[:, s],
             tuple(n_rk[c][:, s] for c in range(3)))
     resolved = jnp.where(jnp.isfinite(t_next), t_w <= t_next, True)
-    return t_w, i_w, jnp.stack(n_w, axis=-1), resolved
+    return t_w, i_w, n_w, resolved
 
 
 @functools.lru_cache(maxsize=32)
@@ -478,9 +504,13 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     """Closest mesh hit per ray across ALL mesh parts, with the exact
     tree-walk fallback for unresolved rays.
 
-    o, d (R, 3); exclude (R,) i32; t_bound (R,) optional. Returns
-    (t (R,), idx (R,), nrm (R, 3)) bit-matching what the in-kernel
-    _scan_mesh_part walk would produce from an empty initial state.
+    o, d component tuples of (R,) f32 (planar); exclude (R,) i32;
+    t_bound (R,) optional occlusion bound (the unrolled-scene winner's
+    t: a mesh hit beyond it can never win the merge, so its chunks are
+    never candidates). Returns (t (R,), idx (R,), nrm component tuple)
+    bit-matching what the in-kernel _scan_mesh_part walk would produce
+    from an empty initial state up to the t_bound cull, which only
+    removes provably-losing candidates.
 
     Unresolved rays (<1% measured on camera and bounce populations) are
     COMPACTED into at most U_MAX slots before the fallback walk — a
@@ -491,7 +521,7 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     seeded walk runs over every tile instead — slow but exact.
     """
     stream = mk.should_stream_tris(static)
-    R = o.shape[0]
+    R = o[0].shape[0]
     t_w = jnp.full((R,), jnp.inf, jnp.float32)
     i_w = jnp.full((R,), -1, jnp.int32)
     n_w = (jnp.zeros((R,), jnp.float32),) * 3
@@ -501,8 +531,7 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
                            mk.ARRAYS_PER_PART * (pi + 1)]
         t_p, i_p, n_p, res = mesh_winner(
             arrs, o, d, exclude, t_bound, k, interpret, stream, active)
-        t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p,
-                                   (n_p[:, 0], n_p[:, 1], n_p[:, 2]))
+        t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p, n_p)
         resolved = resolved & res
 
     tile = PAIR_TILE_M * LANES
@@ -522,8 +551,8 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         t_w, i_w, n0_, n1_, n2_ = args
         r_pad = -(-R // tile) * tile
         m = r_pad // LANES
-        rays_p = planes_of([o[:, 0], o[:, 1], o[:, 2],
-                            d[:, 0], d[:, 1], d[:, 2]], jnp.float32,
+        rays_p = planes_of([o[0], o[1], o[2],
+                            d[0], d[1], d[2]], jnp.float32,
                            R, m)
         sf = planes_of([t_w, n0_, n1_, n2_], jnp.float32, R, m)
         si = planes_of([i_w, exclude], jnp.int32, R, m)
@@ -541,8 +570,8 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         valid = jnp.arange(u_max) < n_unres
         g = lambda a: jnp.take(a, idxs, axis=0)
         m = u_max // LANES
-        rays_p = planes_of([g(o[:, 0]), g(o[:, 1]), g(o[:, 2]),
-                            g(d[:, 0]), g(d[:, 1]), g(d[:, 2])],
+        rays_p = planes_of([g(o[0]), g(o[1]), g(o[2]),
+                            g(d[0]), g(d[1]), g(d[2])],
                            jnp.float32, u_max, m)
         seed_t = jnp.where(valid, g(t_w), -jnp.inf)
         sf = planes_of([seed_t, g(n0_), g(n1_), g(n2_)], jnp.float32,
@@ -570,4 +599,4 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         lambda a: jax.lax.cond(n_unres <= u_max, walk_compact,
                                walk_full, a),
         args)
-    return t_w, i_w, jnp.stack([n0_, n1_, n2_], axis=-1)
+    return t_w, i_w, (n0_, n1_, n2_)

@@ -194,25 +194,33 @@ def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
     inf_r = jnp.full((R,), jnp.inf, jnp.float32)
     neg_r = jnp.full((R,), -1, jnp.int32)
     zero_r = jnp.zeros((R,), jnp.float32)
+    getp = lambda i, j: prims_u[i, j]
 
-    def cast(o, d, exclude, mask):
-        """Gated binned mesh closest-hit over (R,) flats."""
+    def cast(o, d, exclude, mask, t_bound):
+        """Gated binned mesh closest-hit over planar (R,) components.
+
+        t_bound: occlusion bound per ray (the unrolled-scene winner's
+        t, +inf on miss) — candidate chunks entirely behind it are
+        culled before any pair is formed."""
         def go(_):
             t, i, n = binned.mesh_closest_hit(
-                static, mesh_arrays, o, d, exclude,
+                static, mesh_arrays, o, d, exclude, t_bound=t_bound,
                 interpret=interpret, active=mask)
-            return t, i, n[:, 0], n[:, 1], n[:, 2]
+            return t, i, n[0], n[1], n[2]
 
         return jax.lax.cond(
             jnp.any(mask), go,
             lambda _: (inf_r, neg_r, zero_r, zero_r, zero_r), 0)
 
     for depth in range(max_depth + 1):
-        o = jnp.stack([flat(carry_f[c]) for c in range(3)], axis=-1)
-        d = jnp.stack([flat(carry_f[3 + c]) for c in range(3)], axis=-1)
+        o = tuple(flat(carry_f[c]) for c in range(3))
+        d = tuple(flat(carry_f[3 + c]) for c in range(3))
         exclude = flat(carry_i[0])
         active = flat(carry_i[3]) != 0
-        t_m, i_m, n0, n1, n2 = cast(o, d, exclude, active)
+        # unrolled-scene occlusion bound (cheap: a handful of patches/
+        # spheres, planar XLA math; same scan the shade kernel reruns)
+        ub = mk._scan_primitives(static, getp, o, d, exclude, (R,))
+        t_m, i_m, n0, n1, n2 = cast(o, d, exclude, active, ub["t"])
         mesh_f = jnp.stack([t_m, n0, n1, n2]).reshape(4, m, LANES)
         mesh_i = i_m.reshape(1, m, LANES)
         depth_arr = jnp.full((1, 1), depth, jnp.int32)
@@ -220,18 +228,19 @@ def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
             depth_arr, prims_u, carry_f, carry_u, carry_i, spect_p,
             mesh_f, mesh_i)
 
-        sh_o = jnp.stack([flat(sh_f[c]) for c in range(3)], axis=-1)
+        sh_o = tuple(flat(sh_f[c]) for c in range(3))
         ex_sh = flat(tidx)
         l_add = jnp.zeros((4, m, LANES), jnp.float32)
         tape_l = []
         for l_i in range(nl_real):
             fb = 3 + 8 * l_i
-            ldir = jnp.stack([flat(sh_f[fb + c]) for c in range(3)],
-                             axis=-1)
+            ldir = tuple(flat(sh_f[fb + c]) for c in range(3))
             t_su = flat(sh_f[fb + 3])
             id_su = flat(sh_i[2 * l_i])
             lsel = flat(sh_i[2 * l_i + 1]) != 0
-            t_ms, i_ms, _, _, _ = cast(sh_o, ldir, ex_sh, lsel)
+            # the shadow winner needs only "mesh hit at t <= t_su":
+            # t_su is itself the occlusion bound
+            t_ms, i_ms, _, _, _ = cast(sh_o, ldir, ex_sh, lsel, t_su)
             # mesh ids exceed every unrolled id (SceneStatic contract),
             # so the tie rule reduces to t_mesh <= t_unrolled
             occl = (i_ms >= 0) & (t_ms <= t_su)

@@ -46,3 +46,25 @@ def test_cli_render_xla(tmp_path, capsys):
     img = read_png(str(out))
     assert img.shape == (16, 16, 3)
     assert img.max() > 0
+
+
+def test_cli_render_progressive(tmp_path, capsys):
+    """--progressive N rewrites --out every N samples and the final
+    accumulated image equals a one-shot --spp render bit-for-bit
+    (counter-based seeding: progressive chunks are a pure fold)."""
+    out_p = tmp_path / "prog.png"
+    rc = cli.main(["render", "--preset", "simple_scene", "--width", "16",
+                   "--height", "16", "--spp", "4", "--depth", "2",
+                   "--kernel", "xla", "--progressive", "2",
+                   "--out", str(out_p)])
+    assert rc == 0
+    out_s = tmp_path / "shot.png"
+    rc = cli.main(["render", "--preset", "simple_scene", "--width", "16",
+                   "--height", "16", "--spp", "4", "--depth", "2",
+                   "--kernel", "xla", "--out", str(out_s)])
+    assert rc == 0
+    a = read_png(str(out_p))
+    b = read_png(str(out_s))
+    import numpy as np
+    # 8-bit PNGs: identical up to the accumulation-order half-ulp
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
