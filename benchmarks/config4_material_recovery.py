@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""BASELINE config 4: multi-material gradient-based material recovery.
+
+A Cornell variant carrying every BSDF the framework implements —
+diffuse walls/sphere, an emissive area light, a GLASS sphere, and a
+MIRROR sphere (the extension material, config.py:20) — is rendered at
+full config-4 scale for a ground-truth target; the albedo and emission
+spectra are then perturbed and recovered by Adam over the Pallas
+fwd+bwd megakernels (train/optimize.py).
+
+Artifacts (into --out-dir, committed as STAGED records/images):
+  config4_record.json   loss curve, spectra errors, timings
+  config4_target.png    ground truth
+  config4_before.png    perturbed start
+  config4_after.png     recovered result
+
+    python benchmarks/config4_material_recovery.py \
+        --size 1024 --spp 4 --steps 40 --out-dir benchmarks/artifacts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def multi_material_scene(width: int, height: int) -> dict:
+    """Cornell walls + area light + diffuse, glass AND mirror spheres."""
+    from computeraytracer_tpu.scene import presets
+
+    doc = presets.cornell_box(width, height)
+    doc["objects"]["spheres"] = [
+        {"center": [420.0, 90.0, 150.0], "radius": 90.0,
+         "emission": "dark", "reflectance": "red", "type": "diffuse"},
+        {"center": [160.0, 90.0, 145.0], "radius": 90.0,
+         "emission": "dark", "reflectance": "white", "type": "glass"},
+        {"center": [290.0, 420.0, 380.0], "radius": 85.0,
+         "emission": "dark", "reflectance": "white", "type": "mirror"},
+    ]
+    return doc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--target-spp", type=int, default=None,
+                    help="target render spp (default: --spp; the loop "
+                    "uses common random numbers, so matching spp makes "
+                    "the loss noise-free)")
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--out-dir", default="benchmarks/artifacts")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/crt_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from computeraytracer_tpu.ops import color
+    from computeraytracer_tpu.scene import scene_from_dict
+    from computeraytracer_tpu.train import optimize as opt
+    from computeraytracer_tpu.utils.image import write_png
+
+    w = h = args.size
+    os.makedirs(args.out_dir, exist_ok=True)
+    scene, _ = scene_from_dict(multi_material_scene(w, h))
+    tspp = args.target_spp or args.spp
+
+    def png(path, img_hw3, spp):
+        srgb = np.asarray(color.xyz_to_srgb(np.asarray(img_hw3), 2.2))
+        write_png(path, srgb)
+
+    t0 = time.perf_counter()
+    target = jax.block_until_ready(opt.render_mean_xyz(
+        scene, w, h, spp=tspp, max_depth=args.depth, kernel="pallas"))
+    t_target = time.perf_counter() - t0
+    png(os.path.join(args.out_dir, "config4_target.png"), target, tspp)
+
+    # perturb what the optimizer must recover: dim the red albedo, tint
+    # the white one, brighten the light
+    spectra0 = jnp.asarray(scene.spectra)
+    perturbed = scene._replace(
+        spectra=spectra0.at[2].mul(0.35)          # red albedo dimmed
+        .at[0].mul(0.7)                           # white albedo dimmed
+        .at[3].mul(1.6))                          # light overdriven
+    before = opt.render_mean_xyz(perturbed, w, h, spp=args.spp,
+                                 max_depth=args.depth, kernel="pallas")
+    png(os.path.join(args.out_dir, "config4_before.png"), before, args.spp)
+
+    losses = []
+    t0 = time.perf_counter()
+    recovered, losses = opt.optimize(
+        perturbed, target, w, h, trainable=("spectra",),
+        steps=args.steps, learning_rate=args.lr, spp=args.spp,
+        max_depth=args.depth, kernel="pallas",
+        callback=lambda i, loss, p: print(
+            f"step {i:4d}  loss {loss:.6e}", file=sys.stderr, flush=True))
+    t_opt = time.perf_counter() - t0
+
+    after = opt.render_mean_xyz(recovered, w, h, spp=args.spp,
+                                max_depth=args.depth, kernel="pallas")
+    png(os.path.join(args.out_dir, "config4_after.png"), after, args.spp)
+
+    sp_err0 = float(jnp.abs(jnp.asarray(perturbed.spectra) - spectra0).max())
+    sp_err1 = float(jnp.abs(jnp.asarray(recovered.spectra) - spectra0).max())
+    rec = {
+        "config": 4,
+        "scene": "cornell multi-material (diffuse/glass/mirror/emissive)",
+        "resolution": [w, h], "spp": args.spp, "max_depth": args.depth,
+        "steps": args.steps, "kernel": "pallas",
+        "initial_loss": losses[0], "final_loss": losses[-1],
+        "loss_curve": [round(x, 8) for x in losses],
+        "spectra_maxerr_before": round(sp_err0, 5),
+        "spectra_maxerr_after": round(sp_err1, 5),
+        "target_render_seconds": round(t_target, 2),
+        "optimize_seconds": round(t_opt, 2),
+        "seconds_per_step": round(t_opt / max(1, args.steps), 3),
+        "paths_per_step": w * h * args.spp * 2,  # fwd+bwd render of spp
+    }
+    with open(os.path.join(args.out_dir, "config4_record.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({k: v for k, v in rec.items() if k != "loss_curve"}))
+    return 0 if losses[-1] < losses[0] * 0.2 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

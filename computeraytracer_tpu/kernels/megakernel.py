@@ -405,15 +405,11 @@ def _scan_mesh_part(part: "MeshPart", reads, o, d, exclude, state, shape,
                     v1 = (rowv[0, b + 3], rowv[0, b + 4], rowv[0, b + 5])
                     v2 = (rowv[0, b + 6], rowv[0, b + 7], rowv[0, b + 8])
                     tid = rowv[0, b + 9].astype(jnp.int32)
-                    # mirror the unrolled triangle branch exactly
-                    e1 = _vsub(v1, p0)
-                    e2 = _vsub(v2, p0)
-                    n_raw = _scalar_cross(e1, e2)
-                    n_len2 = (n_raw[0] * n_raw[0] + n_raw[1] * n_raw[1]
-                              + n_raw[2] * n_raw[2])
-                    inv_len = 1.0 / jnp.sqrt(jnp.maximum(n_len2, 1e-30))
-                    n0 = (n_raw[0] * inv_len, n_raw[1] * inv_len,
-                          n_raw[2] * inv_len)
+                    # unit normal precomputed at pack time (meshpack
+                    # lanes 10-12) with the same formula the unrolled
+                    # branch evaluates
+                    n0 = (rowv[0, b + 10], rowv[0, b + 11],
+                          rowv[0, b + 12])
                     ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
                     flip = ndotd > 0.0
                     grazing = jnp.abs(

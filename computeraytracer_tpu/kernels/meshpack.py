@@ -29,7 +29,8 @@ scan.
 
 Packed layout (VMEM-friendly: lanes fully used):
   tri_rows  (n_rows, 128) f32 — each row holds 8 triangles x 16 lanes:
-            [v0.xyz, v1.xyz, v2.xyz, prim_id, 6 pad]; 16 rows = 1 chunk.
+            [v0.xyz, v1.xyz, v2.xyz, prim_id, unit-normal.xyz, 3 pad];
+            16 rows = 1 chunk.
             Vertices (not edges): the watertight triangle test needs
             shared-edge endpoints bitwise identical across triangles.
   chunk_bbox (n_chunks_padded, 8) f32 — [lo.xyz, hi.xyz, pad, pad].
@@ -188,6 +189,17 @@ def pack_from_plan(plan: MeshPlan, v0, v1, v2, prim_ids) -> MeshPack:
     comp = comp.at[:, 3:6].set(v1s[:n_real])
     comp = comp.at[:, 6:9].set(v2s[:n_real])
     comp = comp.at[:, 9].set(ids[:n_real])
+    # lanes 10-12: unit normal, precomputed with the kernels' exact
+    # formula (cross(e1, e2) * rsqrt(max(|.|^2, 1e-30))) — removes the
+    # cross + rsqrt + normalize (~25 of ~120 VPU ops per triangle test)
+    # from every in-kernel scan; padding rows keep n == 0, whose
+    # degenerate plane test grazing-rejects as before
+    e1p = v1s[:n_real] - v0s[:n_real]
+    e2p = v2s[:n_real] - v0s[:n_real]
+    n_raw = jnp.cross(e1p, e2p)
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(n_raw * n_raw, -1),
+                                         1e-30))
+    comp = comp.at[:, 10:13].set(n_raw * inv_len[:, None])
     tri_rows = comp.reshape(n_real // TRIS_PER_ROW,
                             TRIS_PER_ROW * LANES_PER_TRI)
 

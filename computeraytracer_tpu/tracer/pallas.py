@@ -49,9 +49,13 @@ LANES = mk.LANES
 SceneStatic = mk.SceneStatic
 
 # Resolved default for trace_radiance(wavefront=None) on mesh scenes.
-# Measured on v5e (benchmarks/mesh_diag.py --wavefront, 81920 tris,
-# 256^2 depth 4): see STAGED_r03.json / README "Measured".
-MESH_WAVEFRONT_DEFAULT = False
+# Measured on v5e, 81920 tris, 256^2 (STAGED_r04.json / README): the
+# round-4 chunk-major binned wavefront renders depth-8 at 0.095
+# Mpaths/s vs 0.016 for the in-kernel tile-ANY bounce loop (6x), and
+# wins at every depth tried — incoherent bounce casts dominate mesh
+# renders, and per-ray candidate culling beats tile-ANY there by ~40x
+# in triangles tested (kernels/binned.py header).
+MESH_WAVEFRONT_DEFAULT = True
 
 
 @functools.lru_cache(maxsize=64)
