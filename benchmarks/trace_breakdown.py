@@ -56,6 +56,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--grad", action="store_true",
                     help="trace value_and_grad instead of forward")
+    ap.add_argument("--mesh", type=int, default=0, metavar="SUB",
+                    help="trace the mesh wavefront (subdivisions=SUB)")
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
@@ -70,7 +72,11 @@ def main() -> int:
     from computeraytracer_tpu.utils import profiling
 
     W = H = args.size
-    scene, _ = scene_from_dict(presets.cornell_box(W, H))
+    if args.mesh:
+        scene, _ = scene_from_dict(
+            presets.mesh_scene(W, H, subdivisions=args.mesh))
+    else:
+        scene, _ = scene_from_dict(presets.cornell_box(W, H))
     static = pt.SceneStatic.from_scene(scene)
 
     if args.grad:
@@ -83,6 +89,12 @@ def main() -> int:
         g = jax.jit(jax.value_and_grad(loss))
         spectra = jnp.asarray(scene.spectra)
         run = lambda: jax.block_until_ready(g(spectra))
+    elif args.mesh:
+        packs = pt.mesh_packs_for(scene, static)
+        f = jax.jit(lambda: pt.render_sample_planar(
+            scene, W, H, 1, max_depth=args.depth, static=static,
+            mesh_packs=packs, backward="none").sum())
+        run = lambda: _sync(f())
     else:
         f = jax.jit(lambda s: pt.render_sample(
             s, W, H, 1, max_depth=args.depth, static=static).sum())

@@ -56,7 +56,13 @@ from computeraytracer_tpu.kernels import meshpack
 
 LANES = mk.LANES
 T_MIN = mk.T_MIN
-DEFAULT_K = 16        # candidate chunks per ray (slots; padded with -1)
+# Candidate chunks per ray (slots; padded with -1). r5: 16 -> 6 — every
+# pair-pipeline cost (both lax.sorts, the pair-kernel grid, the (R, k)
+# reduce) scales with R*k, and the mean REAL candidate count is ~1.7
+# (measured, STAGED_r05); rays with more candidates resolve via the
+# shrink pass (mesh_closest_hit) whose hit-bounded re-candidate
+# collapses their sets, with the exact walk as the final fallback.
+DEFAULT_K = 6
 CAND_BLOCK = 1024     # chunks slab-tested per top-K merge round
 PAIR_TILE_M = 8       # (8, 128) = 1024 pairs per pair-kernel grid step
 
@@ -373,10 +379,11 @@ def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
     end, where all-dead tiles exit the kernel's scan loop immediately.
 
     Returns (t (R,), idx (R,), nrm component tuple of (R,),
-    resolved (R,) bool). Rays with resolved=False found a hit but
-    cannot prove it global (more than k candidate chunks and the hit
-    does not precede the first omitted one) — the caller must finish
-    them on the exact tree-walk path.
+    resolved (R,) bool, t_next (R,) f32 — the entry distance of the
+    first OMITTED candidate, +inf when every candidate fit). Rays with
+    resolved=False found a hit but cannot prove it global (more than k
+    candidate chunks and the hit does not precede the first omitted
+    one) — the caller must finish them (shrink pass / exact tree walk).
     """
     tri_rows, chunk_bbox = pack_arrays[0], pack_arrays[1]
     R = o[0].shape[0]
@@ -436,7 +443,7 @@ def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
             t_w, i_w, n_w, t_rk[:, s], i_rk[:, s],
             tuple(n_rk[c][:, s] for c in range(3)))
     resolved = jnp.where(jnp.isfinite(t_next), t_w <= t_next, True)
-    return t_w, i_w, n_w, resolved
+    return t_w, i_w, n_w, resolved, t_next
 
 
 @functools.lru_cache(maxsize=32)
@@ -533,27 +540,72 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     from an empty initial state up to the t_bound cull, which only
     removes provably-losing candidates.
 
-    Unresolved rays (<1% measured on camera and bounce populations) are
-    COMPACTED into at most U_MAX slots before the fallback walk — a
-    scattered unresolved lane would otherwise drag its whole ray tile
-    through the tree at tile-ANY granularity, which is the exact cost
-    this module exists to avoid. If more than U_MAX rays are unresolved
-    (never observed; k would have to be badly undersized), the full
-    seeded walk runs over every tile instead — slow but exact.
+    Unresolved rays go through up to two recovery stages, each much
+    cheaper than what it replaces:
+
+    1. SHRINK pass (binned, hit-bounded re-candidate). Rays unresolved
+       after the first pass usually DID find a hit — they just cannot
+       prove no omitted candidate chunk precedes it. Re-running the
+       candidate pass with the found hit's t as the cull bound keeps
+       only chunks entering before the current best — typically 1-3 —
+       so almost every such ray resolves exactly. (Without this, a
+       post-bounce population near the mesh overflows k chunks on
+       >u_max rays and the sound-but-slow full seeded walk ran every
+       bounce: the r4 profile shows 4 x 1.39 s walk_full conds per
+       depth-2 sample at 1024^2 — 80% of sample time.)
+    2. Exact seeded tree walk over whatever remains (mostly no-hit
+       rays grazing the mesh), COMPACTED into at most u_max slots — a
+       scattered unresolved lane would otherwise drag its whole ray
+       tile through the tree at tile-ANY granularity. If more than
+       u_max rays remain (k badly undersized), the full seeded walk
+       runs over every tile — slow but exact.
     """
     stream = mk.should_stream_tris(static)
     R = o[0].shape[0]
+
+    def binned_pass(bound, act, t_w, i_w, n_w, resolved):
+        """One binned pass over all parts, merged into the running
+        winner; resolution uses the MERGED t against each part's
+        omitted-candidate bound."""
+        t_nexts = []
+        for pi, part in enumerate(static.mesh_parts):
+            arrs = mesh_arrays[mk.ARRAYS_PER_PART * pi:
+                               mk.ARRAYS_PER_PART * (pi + 1)]
+            t_p, i_p, n_p, _, t_nx = mesh_winner(
+                arrs, o, d, exclude, bound, k, interpret, stream, act)
+            t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p, n_p)
+            t_nexts.append(t_nx)
+        for t_nx in t_nexts:
+            res_p = jnp.where(jnp.isfinite(t_nx), t_w <= t_nx, True)
+            resolved = resolved & res_p
+        return t_w, i_w, n_w, resolved
+
     t_w = jnp.full((R,), jnp.inf, jnp.float32)
     i_w = jnp.full((R,), -1, jnp.int32)
     n_w = (jnp.zeros((R,), jnp.float32),) * 3
     resolved = jnp.ones((R,), bool)
-    for pi, part in enumerate(static.mesh_parts):
-        arrs = mesh_arrays[mk.ARRAYS_PER_PART * pi:
-                           mk.ARRAYS_PER_PART * (pi + 1)]
-        t_p, i_p, n_p, res = mesh_winner(
-            arrs, o, d, exclude, t_bound, k, interpret, stream, active)
-        t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p, n_p)
-        resolved = resolved & res
+    t_w, i_w, n_w, resolved = binned_pass(t_bound, active, t_w, i_w,
+                                          n_w, resolved)
+
+    def shrink(args):
+        t_w, i_w, n_w0, n_w1, n_w2, resolved = args
+        need = ~resolved
+        # cull bound = the found hit (nothing entering later can win);
+        # no-hit rays keep the original bound and mostly stay for the
+        # walk. candidate_chunks pads the bound by 8 ulp, covering the
+        # higher-id-wins tie at exactly t_w.
+        bound2 = jnp.minimum(
+            t_w, t_bound if t_bound is not None
+            else jnp.full((R,), jnp.inf, jnp.float32))
+        resolved2 = jnp.ones((R,), bool)
+        t_w, i_w, n_w, resolved2 = binned_pass(
+            bound2, need, t_w, i_w, (n_w0, n_w1, n_w2), resolved2)
+        return (t_w, i_w) + n_w + (resolved | (need & resolved2),)
+
+    args = (t_w, i_w) + n_w + (resolved,)
+    t_w, i_w, n0_, n1_, n2_, resolved = jax.lax.cond(
+        jnp.all(resolved), lambda a: a, shrink, args)
+    n_w = (n0_, n1_, n2_)
 
     tile = PAIR_TILE_M * LANES
     u_max = tile * max(1, R // (16 * tile))

@@ -1041,7 +1041,8 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
 
 def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
                      tile_m: int = DEFAULT_TILE_M,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     scan_in_kernel: bool = True):
     """One bounce with mesh casting EXTERNALIZED (the binned wavefront).
 
     Where build_bounce_step walks the chunk BVH inside the kernel (tile-
@@ -1054,14 +1055,33 @@ def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
     the megakernel's, so radiance is bit-identical to the in-kernel
     loop (tests/test_pallas.py pins it).
 
+    The kernel also emits the UNROLLED-scene winner for its OUTPUT rays
+    (un_f' [t, n.xyz], un_i' [idx]): the next bounce's mesh cast uses
+    that t as its occlusion bound (exact — computed by the same Mosaic
+    arithmetic as every in-kernel scan, so it can never be tighter than
+    the kernel's own winner), and the next shade step consumes the
+    whole record as its main-scan unrolled winner instead of
+    re-scanning (scan_in_kernel=False), halving unrolled-scan work per
+    bounce and removing the XLA-side bound scan entirely (r5: the XLA
+    bound re-scan measured 7.6 ms/bounce at 256^2).
+
+    scan_in_kernel=True (the first bounce) scans the carry rays
+    in-kernel as before; False consumes un_f/un_i extra inputs. Both
+    variants produce identical radiance — the winner record is the
+    same Mosaic arithmetic either way.
+
     Returns f(depth (1,1) i32, prims_f (P,12), carry_f (16,M,128),
     carry_u (4,M,128) u32, carry_i (4,M,128) i32, spect (S4,M,128),
-    mesh_f (4,M,128) f32 [t, n.xyz], mesh_i (1,M,128) i32 [idx]) ->
+    mesh_f (4,M,128) f32 [t, n.xyz], mesh_i (1,M,128) i32 [idx]
+    [, un_f (4,M,128) f32, un_i (1,M,128) i32  when not scan_in_kernel])
+    ->
       (carry_f', carry_u', carry_i',
        tape_idx (M,128) i32            — merged main winner,
        sh_f ((3+8*L),M,128) f32        — [shadow origin xyz] then per
          light [ldir xyz, t_unrolled, contrib x4],
-       sh_i ((2*L),M,128) i32          — per light [idx_unrolled, lsel])
+       sh_i ((2*L),M,128) i32          — per light [idx_unrolled, lsel],
+       un_f' (4,M,128) f32, un_i' (1,M,128) i32 — next bounce's
+         unrolled winner [t, n.xyz] / [idx] over the output rays)
     where L = n_lights.
     """
     S = static.n_spectra
@@ -1073,8 +1093,14 @@ def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
     nl_real = len(static.light_rows)
 
     def kernel(depth_ref, prims_ref, cf_ref, cu_ref, ci_ref, spect_ref,
-               mf_ref, mi_ref, cf_out, cu_out, ci_out, tidx_ref,
-               shf_ref, shi_ref):
+               mf_ref, mi_ref, *rest):
+        if scan_in_kernel:
+            (cf_out, cu_out, ci_out, tidx_ref, shf_ref, shi_ref,
+             unf_out, uni_out) = rest
+            unf_ref = uni_ref = None
+        else:
+            (unf_ref, uni_ref, cf_out, cu_out, ci_out, tidx_ref,
+             shf_ref, shi_ref, unf_out, uni_out) = rest
         depth = depth_ref[0, 0]
         getp = lambda i, j: prims_ref[i, j]
         gets = lambda row: tuple(spect_ref[row * 4 + j, :, :]
@@ -1087,8 +1113,17 @@ def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
         mesh_id = mi_ref[0]
 
         def scan_fn(tag, so, sd, sexcl):
-            st = _scan_primitives(static, getp, so, sd, sexcl, shape,
-                                  (), barrier=interpret)
+            if tag == "main" and not scan_in_kernel:
+                # winner precomputed by the previous step's output scan
+                # (same Mosaic ops); pos rebuilt with the scan's exact
+                # expression _vadd(o, _vscale(t, d))
+                t_u = unf_ref[0]
+                st = {"t": t_u, "idx": uni_ref[0],
+                      "pos": _vadd(so, _vscale(t_u, sd)),
+                      "nrm": (unf_ref[1], unf_ref[2], unf_ref[3])}
+            else:
+                st = _scan_primitives(static, getp, so, sd, sexcl, shape,
+                                      (), barrier=interpret)
             if tag != "main":
                 return st  # NEE: unrolled only; mesh occlusion deferred
             # fold the precomputed mesh winner in with the exact tie
@@ -1127,13 +1162,26 @@ def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
             for _ in range(n_lights - nl_real):
                 flat += [neg, zi, inf, zero, zero, zero,
                          zero, zero, zero, zero]
-            return (_pack_diff(diff) + _pack_nd(nondiff), tuple(flat))
+            carry = _pack_diff(diff) + _pack_nd(nondiff)
+            # next bounce's unrolled winner over the OUTPUT rays (new
+            # o/d/exclude): its t is the next mesh cast's exact
+            # occlusion bound, the record its main-scan winner
+            nxt = _scan_primitives(static, getp,
+                                   (carry[0], carry[1], carry[2]),
+                                   (carry[3], carry[4], carry[5]),
+                                   carry[N_DIFF + 4], shape, (),
+                                   barrier=interpret)
+            flat += [nxt["t"], *nxt["nrm"], nxt["idx"]]
+            return (carry, tuple(flat))
 
         def skip(carry):
             flat = [neg, zero, zero, zero]
             for _ in range(n_lights):
                 flat += [neg, zi, inf, zero, zero, zero,
                          zero, zero, zero, zero]
+            # all-dead tile: no ray casts next bounce; inf bound / -1
+            # idx keep the candidate sets empty
+            flat += [inf, zero, zero, zero, neg]
             return (carry, tuple(flat))
 
         carry, aux = jax.lax.cond(jnp.any(carry[-1] != 0), do, skip,
@@ -1161,16 +1209,23 @@ def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
             shf_ref[fb + 5] = aux[b + 7]
             shf_ref[fb + 6] = aux[b + 8]
             shf_ref[fb + 7] = aux[b + 9]
+        b = 4 + 10 * n_lights
+        unf_out[0] = aux[b]
+        unf_out[1] = aux[b + 1]
+        unf_out[2] = aux[b + 2]
+        unf_out[3] = aux[b + 3]
+        uni_out[0] = aux[b + 4]
 
     @jax.jit
     def step(depth, prims_f, carry_f, carry_u, carry_i, spect,
-             mesh_f, mesh_i):
+             mesh_f, mesh_i, *un):
         m = carry_f.shape[1]
         grid = (m // tile_m,)
         s4 = S * 4
         tile = lambda k: pl.BlockSpec((k, tile_m, LANES),
                                       lambda i: (0, i, 0),
                                       memory_space=pltpu.VMEM)
+        un_specs = [] if scan_in_kernel else [tile(4), tile(1)]
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -1179,13 +1234,14 @@ def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 tile(N_DIFF), tile(4), tile(4), tile(s4),
-                tile(4), tile(1),
+                tile(4), tile(1), *un_specs,
             ],
             out_specs=[
                 tile(N_DIFF), tile(4), tile(4),
                 pl.BlockSpec((tile_m, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 tile(3 + 8 * n_lights), tile(2 * n_lights),
+                tile(4), tile(1),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((N_DIFF, m, LANES), jnp.float32),
@@ -1196,10 +1252,12 @@ def build_shade_step(static: SceneStatic, max_depth: int, rr_start: int,
                                      jnp.float32),
                 jax.ShapeDtypeStruct((2 * n_lights, m, LANES),
                                      jnp.int32),
+                jax.ShapeDtypeStruct((4, m, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((1, m, LANES), jnp.int32),
             ],
             interpret=interpret,
         )(depth, prims_f, carry_f, carry_u, carry_i, spect,
-          mesh_f, mesh_i)
+          mesh_f, mesh_i, *un)
 
     return step
 

@@ -261,12 +261,18 @@ def _make_field(a_k, s_k, z_k, idx_k, bandwidth, beta):
     n_hat = nvec / jnp.maximum(nlen[..., None], 1e-10)
     delta = -R * jnp.cos(jnp.pi * p_bar)
     eps = jnp.float32(1e-3)
+    # uniform rings (p_bar exactly 0 or 1: every aux sample on one side)
+    # are smooth-region samples and must carry EXACTLY zero velocity;
+    # the arccos clip alone would leave them g ~ 4*eps-ish spurious
+    # velocity that only cancels in expectation (ADVICE r4). The clip
+    # stays for MIXED rings, where it merely bounds arccos' derivative.
+    mixed = ((p_bar > 0.0) & (p_bar < 1.0)).astype(jnp.float32)
 
     def field(uv):
         # analytic coverage: all u'-dependence through the profile
         h = (delta - jnp.sum((uv - center) * n_hat, axis=-1)) / R
         p = 1.0 - jnp.arccos(jnp.clip(h, eps - 1.0, 1.0 - eps)) / jnp.pi
-        g = 4.0 * p * (1.0 - p)
+        g = mixed * 4.0 * p * (1.0 - p)
         d2 = jnp.sum((uv[..., None, :] - a_k) ** 2, axis=-1)
         b = jnp.exp(-d2 / (bandwidth * bandwidth))
         w = b * pref

@@ -72,8 +72,13 @@ def _backward_cached(static, max_depth, rr_start, tile_m, interpret):
 
 @functools.lru_cache(maxsize=64)
 def _shade_step_cached(static, max_depth, rr_start, tile_m, interpret):
-    return mk.build_shade_step(static, max_depth, rr_start, tile_m,
-                               interpret)
+    """(first, rest) shade-step pair for the wavefront: the first
+    bounce scans the unrolled scene in-kernel; every later bounce
+    consumes the previous step's emitted winner (un_f/un_i)."""
+    return (mk.build_shade_step(static, max_depth, rr_start, tile_m,
+                                interpret, scan_in_kernel=True),
+            mk.build_shade_step(static, max_depth, rr_start, tile_m,
+                                interpret, scan_in_kernel=False))
 
 
 def _use_interpret() -> bool:
@@ -216,21 +221,35 @@ def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
             jnp.any(mask), go,
             lambda _: (inf_r, neg_r, zero_r, zero_r, zero_r), 0)
 
+    step_first, step_rest = step_fn
+    un_f = un_i = None
+    ub = None
     for depth in range(max_depth + 1):
         o = tuple(flat(carry_f[c]) for c in range(3))
         d = tuple(flat(carry_f[3 + c]) for c in range(3))
         exclude = flat(carry_i[0])
         active = flat(carry_i[3]) != 0
-        # unrolled-scene occlusion bound (cheap: a handful of patches/
-        # spheres, planar XLA math; same scan the shade kernel reruns)
-        ub = mk._scan_primitives(static, getp, o, d, exclude, (R,))
-        t_m, i_m, n0, n1, n2 = cast(o, d, exclude, active, ub["t"])
+        if depth == 0:
+            # camera-ray occlusion bound, XLA-computed once.
+            # barrier=True: without it the edge functions could fuse
+            # into FMAs and produce a bound tighter than the Mosaic
+            # kernel's own winner beyond candidate_chunks' 8-ulp pad,
+            # culling the chunk with the true mesh winner (ADVICE r4).
+            # Every later bounce's bound comes from the shade kernel's
+            # own emitted scan (exact by construction).
+            ub = mk._scan_primitives(static, getp, o, d, exclude, (R,),
+                                     barrier=True)["t"]
+        t_m, i_m, n0, n1, n2 = cast(o, d, exclude, active, ub)
         mesh_f = jnp.stack([t_m, n0, n1, n2]).reshape(4, m, LANES)
         mesh_i = i_m.reshape(1, m, LANES)
         depth_arr = jnp.full((1, 1), depth, jnp.int32)
-        carry_f, carry_u, carry_i, tidx, sh_f, sh_i = step_fn(
+        un_in = () if depth == 0 else (un_f, un_i)
+        step = step_first if depth == 0 else step_rest
+        (carry_f, carry_u, carry_i, tidx, sh_f, sh_i,
+         un_f, un_i) = step(
             depth_arr, prims_u, carry_f, carry_u, carry_i, spect_p,
-            mesh_f, mesh_i)
+            mesh_f, mesh_i, *un_in)
+        ub = un_f[0].reshape(R)
 
         sh_o = tuple(flat(sh_f[c]) for c in range(3))
         ex_sh = flat(tidx)
@@ -686,17 +705,19 @@ def render_sample(scene, width: int, height: int, sample,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "static", "width", "height", "spp", "max_depth", "rr_start",
-    "first_sample"))
+    "static", "width", "height", "spp", "max_depth", "rr_start"))
 def _render_accumulate_jit(scene, static, mesh_packs, width, height, spp,
                            max_depth, rr_start, first_sample):
+    # first_sample is TRACED (a u32 offset): --progressive calls this
+    # once per chunk with a different first_sample, and a static arg
+    # would recompile the megakernel every chunk (ADVICE r4)
     def body(accum, s):
         return accum + render_sample(scene, width, height, s, max_depth,
                                      rr_start, static=static,
                                      mesh_packs=mesh_packs), None
 
     accum0 = jnp.zeros((height, width, 3), jnp.float32)
-    samples = jnp.arange(first_sample, first_sample + spp, dtype=jnp.uint32)
+    samples = first_sample + jnp.arange(spp, dtype=jnp.uint32)
     accum, _ = jax.lax.scan(body, accum0, samples)
     return accum
 
@@ -708,4 +729,5 @@ def render_accumulate(scene, width: int, height: int, spp: int,
     mesh_packs = (mesh_packs_for(scene, static)
                   if static.mesh_parts else None)
     return _render_accumulate_jit(scene, static, mesh_packs, width, height,
-                                  spp, max_depth, rr_start, first_sample)
+                                  spp, max_depth, rr_start,
+                                  jnp.uint32(first_sample))
