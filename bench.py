@@ -66,6 +66,10 @@ def main() -> int:
                     "loop amortizes it (lax.scan over samples)")
     ap.add_argument("--forward", action="store_true",
                     help="forward-only instead of fwd+bwd")
+    ap.add_argument("--mesh", action="store_true",
+                    help="BASELINE config-3 shape instead of Cornell: "
+                    "~82K-tri mesh scene, fwd+bwd through the taped "
+                    "guided replay (vertex + spectra gradients)")
     ap.add_argument("--scaling", action="store_true",
                     help="measure dp=1 vs dp=all device-scaling "
                     "efficiency of the sharded renderer instead of the "
@@ -86,10 +90,57 @@ def main() -> int:
     from computeraytracer_tpu.tracer import xla as xla_tracer
 
     w = h = args.size
-    scene, _ = scene_from_dict(presets.cornell_box(w, h))
+    if args.mesh:
+        scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=6))
+    else:
+        scene, _ = scene_from_dict(presets.cornell_box(w, h))
     spp = args.spp
     paths = w * h * spp
     samples = jnp.arange(1, spp + 1, dtype=jnp.uint32)
+
+    def _mesh_bench():
+        # config-3 shape (BASELINE.json): mesh forward + full-resolution
+        # vertex+spectra gradients through the Pallas taped guided
+        # replay (no XLA-tracer comparison: the naive tracer at 82K
+        # tris x 1024^2 is ~hours per gradient). One metric line, like
+        # the headline, so STAGED/readme citations can point here.
+        from computeraytracer_tpu.kernels import meshpack
+        static = pallas_tracer.SceneStatic.from_scene(scene)
+        plans = tuple(meshpack.plan_scene_mesh(scene, part)
+                      for part in static.mesh_parts)
+        n_tris = sum(p.count for p in static.mesh_parts)
+
+        if args.forward:
+            packs = pallas_tracer.mesh_packs_for(scene, static)
+            fwd = jax.jit(lambda: accumulate(
+                pallas_tracer, scene, static=static, mesh_packs=packs,
+                backward="none"))
+            t = _time(fwd, args.iters)
+            print(json.dumps({
+                "metric": "pallas_mesh_fwd_mpaths_per_s",
+                "value": round(paths / t / 1e6, 4), "unit": "Mpaths/s",
+                "n_tris": n_tris, "depth": args.depth, "spp": spp,
+                "seconds": round(t, 3), "vs_baseline": None}))
+            return 0
+
+        def loss(spectra, d1):
+            s = scene._replace(
+                spectra=spectra,
+                primitives=scene.primitives._replace(data1=d1))
+            img = accumulate(pallas_tracer, s, static=static,
+                             mesh_plans=plans)
+            return jnp.mean(img ** 2)
+
+        g = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+        spectra = jnp.asarray(scene.spectra)
+        d1 = jnp.asarray(scene.primitives.data1)
+        t = _time(lambda: g(spectra, d1), args.iters)
+        print(json.dumps({
+            "metric": "pallas_mesh_fwdbwd_mpaths_per_s",
+            "value": round(paths / t / 1e6, 4), "unit": "Mpaths/s",
+            "n_tris": n_tris, "depth": args.depth, "spp": spp,
+            "seconds": round(t, 3), "vs_baseline": None}))
+        return 0
 
     if args.scaling:
         # BASELINE.md "multi-host scaling efficiency": throughput at
@@ -140,6 +191,9 @@ def main() -> int:
         img0 = jnp.zeros(shape, jnp.float32)
         img, _ = jax.lax.scan(body, img0, samples)
         return img / spp
+
+    if args.mesh:
+        return _mesh_bench()
 
     if args.forward:
         metric = "pallas_fwd_mpaths_per_s"

@@ -540,75 +540,36 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     from an empty initial state up to the t_bound cull, which only
     removes provably-losing candidates.
 
-    Unresolved rays go through up to two recovery stages, each much
-    cheaper than what it replaces:
-
-    1. SHRINK pass (binned, hit-bounded re-candidate). Rays unresolved
-       after the first pass usually DID find a hit — they just cannot
-       prove no omitted candidate chunk precedes it. Re-running the
-       candidate pass with the found hit's t as the cull bound keeps
-       only chunks entering before the current best — typically 1-3 —
-       so almost every such ray resolves exactly. (Without this, a
-       post-bounce population near the mesh overflows k chunks on
-       >u_max rays and the sound-but-slow full seeded walk ran every
-       bounce: the r4 profile shows 4 x 1.39 s walk_full conds per
-       depth-2 sample at 1024^2 — 80% of sample time.)
-    2. Exact seeded tree walk over whatever remains (mostly no-hit
-       rays grazing the mesh), COMPACTED into at most u_max slots — a
-       scattered unresolved lane would otherwise drag its whole ray
-       tile through the tree at tile-ANY granularity. If more than
-       u_max rays remain (k badly undersized), the full seeded walk
-       runs over every tile — slow but exact.
+    Unresolved rays (measured ~2-5% of a bounce population at k=6:
+    mostly NO-HIT rays grazing the mesh, whose >k origin-overlapping
+    candidate chunks all need testing to prove the miss — a shrink-
+    style hit-bounded re-candidate provably cannot help them) are
+    COMPACTED into at most u_max slots, SORTED by direction octant +
+    origin Morton so the gathered tiles are spatially coherent, and
+    finished by the exact seeded tree walk — a scattered unresolved
+    lane would otherwise drag its whole ray tile through the tree at
+    tile-ANY granularity, and an UNsorted gathered tile is the same
+    disaster (the r4 profile shows 4 x 1.39 s walk conds per depth-2
+    sample at 1024^2 — 80% of sample time). If more than u_max rays
+    remain (k badly undersized), the full seeded walk runs over every
+    tile — slow but exact.
     """
     stream = mk.should_stream_tris(static)
     R = o[0].shape[0]
-
-    def binned_pass(bound, act, t_w, i_w, n_w, resolved):
-        """One binned pass over all parts, merged into the running
-        winner; resolution uses the MERGED t against each part's
-        omitted-candidate bound."""
-        t_nexts = []
-        for pi, part in enumerate(static.mesh_parts):
-            arrs = mesh_arrays[mk.ARRAYS_PER_PART * pi:
-                               mk.ARRAYS_PER_PART * (pi + 1)]
-            t_p, i_p, n_p, _, t_nx = mesh_winner(
-                arrs, o, d, exclude, bound, k, interpret, stream, act)
-            t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p, n_p)
-            t_nexts.append(t_nx)
-        for t_nx in t_nexts:
-            res_p = jnp.where(jnp.isfinite(t_nx), t_w <= t_nx, True)
-            resolved = resolved & res_p
-        return t_w, i_w, n_w, resolved
-
     t_w = jnp.full((R,), jnp.inf, jnp.float32)
     i_w = jnp.full((R,), -1, jnp.int32)
     n_w = (jnp.zeros((R,), jnp.float32),) * 3
     resolved = jnp.ones((R,), bool)
-    t_w, i_w, n_w, resolved = binned_pass(t_bound, active, t_w, i_w,
-                                          n_w, resolved)
-
-    def shrink(args):
-        t_w, i_w, n_w0, n_w1, n_w2, resolved = args
-        need = ~resolved
-        # cull bound = the found hit (nothing entering later can win);
-        # no-hit rays keep the original bound and mostly stay for the
-        # walk. candidate_chunks pads the bound by 8 ulp, covering the
-        # higher-id-wins tie at exactly t_w.
-        bound2 = jnp.minimum(
-            t_w, t_bound if t_bound is not None
-            else jnp.full((R,), jnp.inf, jnp.float32))
-        resolved2 = jnp.ones((R,), bool)
-        t_w, i_w, n_w, resolved2 = binned_pass(
-            bound2, need, t_w, i_w, (n_w0, n_w1, n_w2), resolved2)
-        return (t_w, i_w) + n_w + (resolved | (need & resolved2),)
-
-    args = (t_w, i_w) + n_w + (resolved,)
-    t_w, i_w, n0_, n1_, n2_, resolved = jax.lax.cond(
-        jnp.all(resolved), lambda a: a, shrink, args)
-    n_w = (n0_, n1_, n2_)
+    for pi, part in enumerate(static.mesh_parts):
+        arrs = mesh_arrays[mk.ARRAYS_PER_PART * pi:
+                           mk.ARRAYS_PER_PART * (pi + 1)]
+        t_p, i_p, n_p, res, _ = mesh_winner(
+            arrs, o, d, exclude, t_bound, k, interpret, stream, active)
+        t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p, n_p)
+        resolved = resolved & res
 
     tile = PAIR_TILE_M * LANES
-    u_max = tile * max(1, R // (16 * tile))
+    u_max = tile * max(1, R // (8 * tile))
     unres = ~resolved
     n_unres = jnp.sum(unres)
     walk = build_walk_kernel(static, PAIR_TILE_M, interpret)
@@ -637,10 +598,43 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     def walk_compact(args):
         """Gather unresolved rays into u_max slots, walk those tiles,
         scatter the results back. Empty slots carry t_best = -inf so
-        the walk's slab culls reject every box for them."""
+        the walk's slab culls reject every box for them.
+
+        Gathered rays are SORTED by direction octant (major) + 8-bit
+        origin Morton (minor) first: the walk culls at tile-ANY
+        granularity, and an unsorted gathered tile mixes rays from all
+        over the scene pointing everywhere — it would enter most of
+        the tree. Sorting is over u_max elements (3 payloads), noise
+        next to the tree walk it speeds up; the scatter-back indexes by
+        original ray id, so the permutation cannot change any value."""
         t_w, i_w, n0_, n1_, n2_ = args
-        (idxs,) = jnp.nonzero(unres, size=u_max, fill_value=0)
-        valid = jnp.arange(u_max) < n_unres
+        (idxs0,) = jnp.nonzero(unres, size=u_max, fill_value=0)
+        valid0 = jnp.arange(u_max) < n_unres
+        g0 = lambda a: jnp.take(a, idxs0, axis=0)
+
+        def spread3(v):  # 8-bit -> every 3rd bit (meshpack._morton3)
+            v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+            v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+            v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+            v = (v | (v << 2)) & jnp.uint32(0x09249249)
+            return v
+
+        og = [g0(o[c]) for c in range(3)]
+        dg = [g0(d[c]) for c in range(3)]
+        key = jnp.zeros((u_max,), jnp.uint32)
+        for c in range(3):
+            oc = jnp.where(valid0, og[c], 0.0)
+            lo = jnp.min(jnp.where(valid0, oc, jnp.inf))
+            hi = jnp.max(jnp.where(valid0, oc, -jnp.inf))
+            q = jnp.clip((oc - lo) / jnp.maximum(hi - lo, 1e-20) * 255.0,
+                         0.0, 255.0).astype(jnp.uint32)
+            key = key | (spread3(q) << jnp.uint32(c))
+            key = key | jnp.where(dg[c] < 0.0,
+                                  jnp.uint32(1 << (24 + c)), 0)
+        key = jnp.where(valid0, key, jnp.uint32(0xFFFFFFFF))
+        (_, idxs, valid) = jax.lax.sort(
+            (key, idxs0, valid0.astype(jnp.int32)), num_keys=1)
+        valid = valid != 0
         g = lambda a: jnp.take(a, idxs, axis=0)
         m = u_max // LANES
         rays_p = planes_of([g(o[0]), g(o[1]), g(o[2]),

@@ -914,6 +914,16 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
     Bounces skipped by the all-dead-tile shortcut record -1 everywhere
     (those lanes are dead in the replayed carry too, so the values are
     never consumed).
+
+    taped="full" instead returns the full per-bounce INPUT carry —
+      tape_f (D+1, N_DIFF, M, 128) f32, tape_u (D+1, 4, M, 128) u32,
+      tape_i (D+1, 4, M, 128) i32
+    — the exact record build_backward's in-kernel replay rebuilds.
+    Feeding it to build_backward_from_tape skips the replay, so forward
+    trace work runs ONCE per training step instead of twice (r4 ask 6:
+    the replay was 14 of the backward's 38 ms at 1024^2). The tape is
+    ~(D+1)*24 planes of HBM (~900 MB at 1024^2 depth 8, ~2 ms of
+    bandwidth vs ~14 ms of re-trace).
     """
     S = static.n_spectra
     shape = (tile_m, LANES)
@@ -928,12 +938,16 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
     if stream_tris is None:
         stream_tris = should_stream_tris(static)
     stream_tris = bool(stream_tris and parts)
+    taped_full = taped == "full"
 
     def kernel(prims_ref, rays_ref, seeds_ref, spect_ref, *rest):
         tri_scratch = tri_sem = None
         if stream_tris:
             rest, tri_scratch, tri_sem = rest[:-2], rest[-2], rest[-1]
-        if taped:
+        if taped_full:
+            mesh_refs = rest[:-4]
+            out_ref, tf_ref, tu_ref, ti_ref = rest[-4:]
+        elif taped:
             mesh_refs = rest[:-3]
             out_ref, tidx_ref, tsh_ref = rest[-3:]
         else:
@@ -947,6 +961,16 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
 
         def body(depth, carry):
             neg = jnp.full(shape, -1, jnp.int32)
+            if taped_full:
+                # input carry, written unconditionally (matching
+                # build_backward's replay: dead tiles still record a
+                # valid all-dead carry for the reverse sweep)
+                for p in range(N_DIFF):
+                    tf_ref[depth, p] = carry[p]
+                for k in range(4):
+                    tu_ref[depth, k] = carry[N_DIFF + k]
+                for k in range(4):
+                    ti_ref[depth, k] = carry[N_DIFF + 4 + k]
 
             def do(carry):
                 diff = _unpack_diff(carry[:N_DIFF])
@@ -964,7 +988,7 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
             carry, aux = jax.lax.cond(
                 jnp.any(carry[-1] != 0), do,
                 lambda c: (c, (neg, (neg,) * n_lights)), carry)
-            if taped:
+            if taped and not taped_full:
                 tidx_ref[depth] = aux[0]
                 for l_i in range(n_lights):
                     tsh_ref[depth, l_i] = aux[1][l_i]
@@ -991,7 +1015,25 @@ def build_forward(static: SceneStatic, max_depth: int, rr_start: int,
         out_specs = [pl.BlockSpec((4, tile_m, LANES), lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
         out_shape = [jax.ShapeDtypeStruct((4, m, LANES), jnp.float32)]
-        if taped:
+        if taped_full:
+            out_specs += [
+                pl.BlockSpec((depth_n, N_DIFF, tile_m, LANES),
+                             lambda i: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((depth_n, 4, tile_m, LANES),
+                             lambda i: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((depth_n, 4, tile_m, LANES),
+                             lambda i: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((depth_n, N_DIFF, m, LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((depth_n, 4, m, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((depth_n, 4, m, LANES), jnp.int32),
+            ]
+        elif taped:
             out_specs += [
                 pl.BlockSpec((depth_n, tile_m, LANES),
                              lambda i: (0, i, 0),
@@ -1428,6 +1470,121 @@ def build_backward(static: SceneStatic, max_depth: int, rr_start: int,
             ],
             interpret=interpret,
         )(prims_f, rays, seeds, spect, dl)
+
+    return backward
+
+
+def build_backward_from_tape(static: SceneStatic, max_depth: int,
+                             rr_start: int, tile_m: int = DEFAULT_TILE_M,
+                             interpret: bool = False):
+    """Reverse-sweep-only backward: consumes the forward's full carry
+    tape (build_forward taped="full") instead of replaying the trace.
+
+    Returns f(prims_f (P,12), spect (S*4,M,128), tape_f, tape_u,
+    tape_i, dL (4,M,128)) ->
+      (d_prims (P,12), d_rays (6,M,128), d_spect (S*4,M,128)).
+
+    Identical adjoint arithmetic to build_backward's reverse sweep (the
+    same make_bounce under jax.vjp per bounce); only the tape's
+    producer changed — the forward kernel wrote it once, so forward
+    trace work runs once per training step, not twice (r4 ask 6; the
+    re-trace was 38-14=24...14 ms of the 52 ms fwd+bwd sample at
+    1024^2, README r4 breakdown). d_rays comes from the depth-0 tape
+    row's cotangent, which IS the input-ray cotangent (the initial
+    carry embeds the rays)."""
+    if static.mesh_parts:
+        raise NotImplementedError(
+            "mesh scenes differentiate through the taped guided replay "
+            "(tracer/replay.py)")
+    n_prims = len(static.categories)
+    S = static.n_spectra
+    s4 = S * 4
+    shape = (tile_m, LANES)
+    depth_n = max_depth + 1
+    bounce = make_bounce(static, shape, max_depth, rr_start,
+                         barrier=interpret)
+
+    def kernel(prims_ref, spect_ref, tf_ref, tu_ref, ti_ref, dl_ref,
+               dprims_ref, drays_ref, dspect_ref):
+        prims = prims_ref[:]
+        spect = spect_ref[:]
+        getp_v = lambda pv: (lambda i, j: pv[i, j])
+        gets_v = lambda sv: (lambda row: tuple(sv[row * 4 + j]
+                                               for j in range(4)))
+
+        d_diff = [jnp.zeros(shape, jnp.float32) for _ in range(N_DIFF)]
+        for j in range(4):
+            d_diff[6 + j] = dl_ref[j, :, :]
+        d_prims = jnp.zeros(prims.shape, jnp.float32)
+        d_spect = jnp.zeros(spect.shape, jnp.float32)
+
+        def reverse(k, acc):
+            depth = depth_n - 1 - k
+            active_in = ti_ref[depth, 3]
+
+            def do(acc):
+                d_diff, d_prims, d_spect = acc
+                diff_in = tuple(tf_ref[depth, p] for p in range(N_DIFF))
+                seed_in = tuple(tu_ref[depth, j] for j in range(4))
+                ints = tuple(ti_ref[depth, j] for j in range(4))
+                nondiff_in = _unpack_nd(seed_in + ints)
+
+                def f(pv, sv, diff_planes):
+                    out_diff, _, _ = bounce(getp_v(pv), gets_v(sv),
+                                            _unpack_diff(diff_planes),
+                                            nondiff_in, depth)
+                    return _pack_diff(out_diff)
+
+                _, vjp = jax.vjp(f, prims, spect, diff_in)
+                dp, ds, dd = vjp(tuple(d_diff))
+                return list(dd), d_prims + dp, d_spect + ds
+
+            return jax.lax.cond(jnp.any(active_in != 0), do,
+                                lambda a: a, acc)
+
+        d_diff, d_prims, d_spect = jax.lax.fori_loop(
+            0, depth_n, reverse, (d_diff, d_prims, d_spect))
+
+        for j in range(6):
+            drays_ref[j, :, :] = d_diff[j]
+        dspect_ref[:] = d_spect
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dprims_ref[:] = jnp.zeros_like(dprims_ref)
+        dprims_ref[:] += d_prims
+
+    @jax.jit
+    def backward(prims_f, spect, tape_f, tape_u, tape_i, dl):
+        m = spect.shape[1]
+        grid = (m // tile_m,)
+        tile3 = lambda k, dt: pl.BlockSpec((k, tile_m, LANES),
+                                           lambda i: (0, i, 0),
+                                           memory_space=pltpu.VMEM)
+        tape_spec = lambda k: pl.BlockSpec(
+            (depth_n, k, tile_m, LANES), lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                tile3(s4, jnp.float32),
+                tape_spec(N_DIFF), tape_spec(4), tape_spec(4),
+                tile3(4, jnp.float32),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_prims, 12), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                tile3(6, jnp.float32),
+                tile3(s4, jnp.float32),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_prims, 12), jnp.float32),
+                jax.ShapeDtypeStruct((6, m, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((s4, m, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(prims_f, spect, tape_f, tape_u, tape_i, dl)
 
     return backward
 

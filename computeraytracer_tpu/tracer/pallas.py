@@ -71,6 +71,12 @@ def _backward_cached(static, max_depth, rr_start, tile_m, interpret):
 
 
 @functools.lru_cache(maxsize=64)
+def _backward_tape_cached(static, max_depth, rr_start, tile_m, interpret):
+    return mk.build_backward_from_tape(static, max_depth, rr_start,
+                                       tile_m, interpret)
+
+
+@functools.lru_cache(maxsize=64)
 def _shade_step_cached(static, max_depth, rr_start, tile_m, interpret):
     """(first, rest) shade-step pair for the wavefront: the first
     bounce scans the unrolled scene in-kernel; every later bounce
@@ -109,6 +115,36 @@ def _call_bwd(fwd, bwd, res, g):
 
 
 _call_with_vjp.defvjp(_call_fwd, _call_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _call_taped(fwd_plain, fwd_taped, bwd_tape, prims_f, rays, seeds,
+                spect_p):
+    """Kernel call whose backward is the tape-fed reverse sweep.
+
+    The primal (no-grad) path runs the plain forward — no tape writes;
+    under grad the fwd rule runs the taped-full forward once and the
+    backward consumes the tape without replaying the trace (forward
+    trace work once per training step, r4 ask 6)."""
+    return fwd_plain(prims_f, rays, seeds, spect_p)
+
+
+def _call_taped_fwd(fwd_plain, fwd_taped, bwd_tape, prims_f, rays, seeds,
+                    spect_p):
+    out, tf, tu, ti = fwd_taped(prims_f, rays, seeds, spect_p)
+    return out, (prims_f, seeds, spect_p, tf, tu, ti)
+
+
+def _call_taped_bwd(fwd_plain, fwd_taped, bwd_tape, res, g):
+    import numpy as np
+
+    prims_f, seeds, spect_p, tf, tu, ti = res
+    dp, dr, dsp = bwd_tape(prims_f, spect_p, tf, tu, ti, g)
+    d_seeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return dp, dr, d_seeds, dsp
+
+
+_call_taped.defvjp(_call_taped_fwd, _call_taped_bwd)
 
 
 def _zero_cot(x):
@@ -458,10 +494,12 @@ def _dispatch(scene, static, rays, seeds, spect_p, max_depth, rr_start,
     elif backward == "pallas":
         fwd = _forward_cached(static, int(max_depth), int(rr_start),
                               tile_m, interpret)
-        bwd = _backward_cached(static, int(max_depth), int(rr_start),
-                               tile_m, interpret)
-        out = _call_with_vjp(fwd, bwd, mk.pack_prims(scene, static), rays,
-                             seeds, spect_p)
+        fwd_t = _forward_cached(static, int(max_depth), int(rr_start),
+                                tile_m, interpret, "full")
+        bwd_t = _backward_tape_cached(static, int(max_depth),
+                                      int(rr_start), tile_m, interpret)
+        out = _call_taped(fwd, fwd_t, bwd_t, mk.pack_prims(scene, static),
+                          rays, seeds, spect_p)
     else:
         fwd = _forward_cached(static, int(max_depth), int(rr_start),
                               tile_m, interpret, False, stream_tris)
@@ -476,7 +514,8 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
                   backward: str = "pallas", mesh_packs=None,
                   tile_m: int | None = None, mesh_plans=None,
                   wavefront: bool | None = None,
-                  stream_tris: bool | None = None):
+                  stream_tris: bool | None = None,
+                  vis_grads=False):
     """Pallas analogue of xla_tracer.render_pixels -> XYZ (R, 3).
 
     With backward="pallas" (default) this is a plain differentiable
@@ -485,17 +524,49 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
     spectra gather, and the CIE conversion. With backward="xla" the
     whole pixel function gets a recompute-vjp through the XLA tracer
     instead (slow at mesh scale: no BVH in that path's backward).
+
+    vis_grads: the "screen" warped-area domain (ops/warp.py) runs ON
+    THIS FAST PATH — the warp is XLA-side pre-work (film-coordinate
+    reparameterization before ray-gen) and post-work (detJ + zero-
+    primal tent splat), wrapped around the Pallas kernel trace whose
+    custom_vjp carries d(radiance)/d(ray) back into the warp. Primal
+    radiance is bit-identical to vis_grads=("screen",) on the XLA path
+    (same unstratified draws). The "light"/"hemi" domains hook INSIDE
+    the bounce loop and stay on the XLA oracle path (backward="xla" /
+    tracer.xla vis_grads) — requesting them here raises.
     """
     if static is None:
         static = SceneStatic.from_scene(scene)
     scene = scene_data.as_jax(scene)
     sample_u = jnp.asarray(sample, jnp.uint32)
+    domains = xla_tracer._vis_domains(vis_grads)
+    if set(domains) - {"screen"}:
+        raise ValueError(
+            f"the Pallas path supports vis_grads=('screen',); domains "
+            f"{sorted(set(domains) - {'screen'})} hook inside the bounce "
+            "loop — use the XLA path (tracer.xla render_pixels "
+            "vis_grads=...) for them")
+    if domains and jnp.shape(px)[0] != width * height:
+        raise ValueError(
+            "vis_grads 'screen' requires full-film row-major rays "
+            "(the tent splat scatters by py*width+px)")
 
     def run(scene, sample_u):
         seed = rng.seed_pixel(px, py, sample_u)
-        o, d, seed = cam_ops.camera_rays(
-            scene.camera.eye, scene.camera.lookat, scene.camera.up,
-            scene.camera.fov, width, height, px, py, sample_u, seed)
+        if domains:
+            from computeraytracer_tpu.ops import warp
+            cam = scene.camera
+            frame = cam_ops.film_frame(cam.eye, cam.lookat, cam.up,
+                                       cam.fov, width, height)
+            s, t, seed = cam_ops.film_coords(width, height, px, py,
+                                             sample_u, seed,
+                                             stratified=False)
+            s, t, detj = warp.screen_warp(scene, width, height, s, t)
+            o, d = cam_ops.film_ray(cam.eye, *frame, s, t)
+        else:
+            o, d, seed = cam_ops.camera_rays(
+                scene.camera.eye, scene.camera.lookat, scene.camera.up,
+                scene.camera.fov, width, height, px, py, sample_u, seed)
         lambdas, seed = spec.sample_wavelengths(seed)
         radiance = trace_radiance(scene, o, d, lambdas, seed, max_depth,
                                   rr_start, tile_m=tile_m, static=static,
@@ -504,7 +575,12 @@ def render_pixels(scene, width: int, height: int, px, py, sample,
                                   mesh_plans=mesh_plans,
                                   wavefront=wavefront,
                                   stream_tris=stream_tris)
-        return spec.spectral_to_xyz(scene.cie, radiance, lambdas)
+        xyz = spec.spectral_to_xyz(scene.cie, radiance, lambdas)
+        if domains:
+            xyz = xyz * detj[..., None]
+            xyz = xyz + xla_tracer._splat_correction(xyz, s, t, width,
+                                                     height)
+        return xyz
 
     if backward != "xla":
         return run(scene, sample_u)
@@ -681,13 +757,16 @@ def render_sample(scene, width: int, height: int, sample,
                   backward: str = "pallas", mesh_packs=None,
                   tile_m: int | None = None, mesh_plans=None,
                   wavefront: bool | None = None,
-                  stream_tris: bool | None = None, **_):
+                  stream_tris: bool | None = None,
+                  vis_grads=False, **_):
     if static is None:
         static = SceneStatic.from_scene(scene)
     if static.mesh_parts and mesh_packs is None and mesh_plans is None:
         mesh_packs = mesh_packs_for(scene, static)
     order = None
-    if static.mesh_parts:
+    if static.mesh_parts and not vis_grads:
+        # (the screen-warp splat needs row-major full-film rays; mesh
+        # scenes' block order is a culling optimization, not semantics)
         tm = tile_m if tile_m is not None else mk.MESH_TILE_M
         order = _block_order(width, height, tm * LANES)
     if order is None:
@@ -698,7 +777,7 @@ def render_sample(scene, width: int, height: int, sample,
                         rr_start, static=static, backward=backward,
                         mesh_packs=mesh_packs, tile_m=tile_m,
                         mesh_plans=mesh_plans, wavefront=wavefront,
-                        stream_tris=stream_tris)
+                        stream_tris=stream_tris, vis_grads=vis_grads)
     if order is not None:
         xyz = jnp.take(xyz, inv, axis=0)
     return xyz.reshape(height, width, 3)

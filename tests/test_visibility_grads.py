@@ -268,3 +268,103 @@ def test_shadow_boundary_majority_captured(occ_scene):
     assert abs(ad_interior) <= 0.05 * abs(fd), (ad_interior, fd)
     ratio = ad_light / fd
     assert 0.40 <= ratio <= 1.10, (ad_light, fd)
+
+
+# ---------------------------------------------------------------------------
+# 6. production (Pallas) path: screen warp wrapped around the kernel
+# ---------------------------------------------------------------------------
+
+def test_pallas_screen_warp_matches_xla(occ_scene):
+    """The screen warp on the Pallas fast path (tracer/pallas.py
+    render_pixels vis_grads=("screen",)): primal allclose to the XLA
+    path's screen-warp render (same draws, same estimator; XLA fuses
+    float arithmetic differently from Mosaic, so equality is to f32
+    rounding, as for every pallas-vs-xla image comparison), gradient
+    close (the kernel's custom_vjp carries d(radiance)/d(ray) back
+    into the warp like XLA AD does)."""
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    static = pt.SceneStatic.from_scene(occ_scene)
+    a = np.asarray(xt.render_sample(occ_scene, W, H, 1, max_depth=1,
+                                    vis_grads=("screen",),
+                                    use_remat=False))
+    b = np.asarray(pt.render_sample(occ_scene, W, H, 1, max_depth=1,
+                                    static=static,
+                                    vis_grads=("screen",)))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+    sil, _ = _weights()
+    wgt = jnp.asarray(sil)
+
+    def loss_of(render):
+        def loss(dx):
+            d1 = jnp.asarray(occ_scene.primitives.data1).at[OCC, 0].add(dx)
+            s = occ_scene._replace(
+                primitives=occ_scene.primitives._replace(data1=d1))
+
+            def body(acc, k):
+                return acc + render(s, k), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((H, W, 3), jnp.float32),
+                                  jnp.arange(1, 65, dtype=jnp.uint32))
+            return jnp.sum(acc / 64 * wgt)
+
+        return loss
+
+    g_xla = float(jax.jit(jax.grad(loss_of(
+        lambda s, k: xt.render_sample(s, W, H, k, max_depth=1,
+                                      vis_grads=("screen",),
+                                      use_remat=False))))(jnp.float32(0.0)))
+    g_pal = float(jax.jit(jax.grad(loss_of(
+        lambda s, k: pt.render_sample(s, W, H, k, max_depth=1,
+                                      static=static,
+                                      vis_grads=("screen",)))))(
+        jnp.float32(0.0)))
+    assert abs(g_pal - g_xla) <= 0.05 * max(1.0, abs(g_xla)), (g_pal, g_xla)
+
+
+def test_silhouette_recovery_on_fast_path(occ_scene):
+    """r4 ask 7's "done" bar: a silhouette-recovery optimization — move
+    a displaced occluder back to its target position — CONVERGES using
+    gradients from the Pallas fast path (screen warp around the
+    kernel). Interior AD alone has exactly zero signal for a pure
+    translation (asserted in test_screen_silhouette_matches_fd), so
+    any recovery is the boundary term."""
+    import optax
+
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    static = pt.SceneStatic.from_scene(occ_scene)
+    spp = 32
+
+    @jax.jit
+    def render_mean(dx):
+        d1 = jnp.asarray(occ_scene.primitives.data1).at[OCC, 0].add(dx)
+        s = occ_scene._replace(
+            primitives=occ_scene.primitives._replace(data1=d1))
+
+        def body(acc, k):
+            return acc + pt.render_sample(s, W, H, k, max_depth=1,
+                                          static=static,
+                                          vis_grads=("screen",)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((H, W, 3), jnp.float32),
+                              jnp.arange(1, spp + 1, dtype=jnp.uint32))
+        return acc / spp
+
+    target = jax.lax.stop_gradient(render_mean(jnp.float32(0.0)))
+
+    def loss(dx):
+        return jnp.mean((render_mean(dx) - target) ** 2) * 1e3
+
+    gfn = jax.jit(jax.value_and_grad(loss))
+    dx = jnp.float32(0.22)   # ~2 pixels of silhouette displacement
+    opt = optax.adam(5e-2)
+    state = opt.init(dx)
+    dx0 = float(dx)
+    for _ in range(25):
+        _, g = gfn(dx)
+        upd, state = opt.update(g, state)
+        dx = optax.apply_updates(dx, upd)
+    assert abs(float(dx)) < abs(dx0) / 3, (
+        f"occluder did not recover: dx {dx0} -> {float(dx)}")

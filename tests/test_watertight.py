@@ -164,6 +164,60 @@ def test_bvh_traversal_never_leaks_through_closed_surface():
     assert n_miss == 0, f"{n_miss}/{len(o)} edge rays leaked through BVH"
 
 
+def test_grazing_band_leak_bounded_on_closed_mesh():
+    """Numeric CEILING on the grazing-band energy leak (r3 ask 8).
+
+    The one known exception to the watertight guarantee is the
+    |n.d| < 1e-4 grazing rejection (megakernel.py bounce scan /
+    ops/intersect.py known-exception note): a ray that would exit a
+    closed surface exactly through a silhouette band of some triangle
+    can be rejected by BOTH triangles sharing the edge when each is
+    grazing, and leak through. This test measures that leak as a
+    fraction of an isotropic ray population cast from points INSIDE a
+    closed displaced-blob mesh — every such ray must hit the closed
+    surface, so the miss fraction IS the leaked-energy fraction of a
+    uniform interior radiance field (each ray carries equal energy).
+
+    Measured (seeds below, 5120-tri displaced blob, 24K rays):
+    0 leaked — the band is ~1e-4 rad wide and the neighbor triangle
+    across a silhouette edge is rarely ALSO grazing. The asserted
+    ceiling 5e-4 is ~10x the one-in-24K resolution, pinning the leak
+    at silhouettes to a bounded, tested quantity instead of a
+    docstring caveat."""
+    from computeraytracer_tpu.scene import data as sdata
+    import jax
+
+    verts, faces = mesh_ops.displaced_blob(4)  # 5120 tris, closed, bumpy
+    cols = mesh_ops.mesh_arrays(verts, faces, reflectance=0, emission=0,
+                                material=0)
+    prims = sdata.ScenePrimitives(
+        index=np.arange(len(faces), dtype=np.int32),
+        **{k: cols[k] for k in ("category", "data1", "data2", "data3",
+                                "emission", "reflectance", "material")})
+    prims = jax.tree_util.tree_map(jnp.asarray, prims)
+
+    rng = np.random.default_rng(11)
+    # interior origins: well inside the blob (min radius ~1-0.25-...)
+    n_orig, n_dir = 8, 3000
+    o = rng.uniform(-0.3, 0.3, (n_orig, 1, 3))
+    d = rng.normal(size=(n_orig, n_dir, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(o, d.shape).reshape(-1, 3).astype(np.float32)
+    d = d.reshape(-1, 3).astype(np.float32)
+
+    n = len(o)
+    misses = 0
+    for s in range(0, n, 4096):  # chunk the (rays, 5120) brute matrix
+        hit = isect.intersect_brute(
+            jnp.asarray(o[s:s + 4096]), jnp.asarray(d[s:s + 4096]),
+            jnp.full(min(4096, n - s), -1, jnp.int32), prims)
+        misses += int((~np.asarray(hit.hit)).sum())
+    frac = misses / n
+    assert frac <= 5e-4, (
+        f"grazing-band leak {misses}/{n} = {frac:.2e} exceeds the 5e-4 "
+        f"ceiling on a closed mesh")
+
+
 def test_mesh_part_scan_never_leaks_through_closed_surface():
     """Same leak property through the Pallas megakernel's chunk-BVH mesh
     scan (_scan_mesh_part): the node/chunk slab culls plus the in-kernel
