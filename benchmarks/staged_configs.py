@@ -184,19 +184,29 @@ def config4():
 
 def config5(full=False):
     """Large mesh sharded over every visible device with grad psum
-    semantics (multi-host shapes validated on the CPU mesh in tests)."""
+    semantics (multi-host shapes validated on the CPU mesh in tests).
+
+    --full runs the specified GEOMETRY and film (1.3M tris, 2048^2) as
+    a 1-spp single-chip slice: the 64-spp spec is a pod-scale sample
+    budget (spp shards over the mesh 'sp' axis with no extra per-chip
+    work — render_sharded), so the per-chip record is the 1-spp cost.
+    This is the config that exercises the HBM tri_rows streaming path
+    (megakernel.should_stream_tris > 400K tris) on real hardware."""
+    from computeraytracer_tpu.kernels import megakernel as mk
     from computeraytracer_tpu.parallel import mesh as mesh_mod
     from computeraytracer_tpu.parallel import render_sharded
     from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
 
     if full:
         w = h = 2048
-        spp, sub = 64, 8  # ~1.3M tris
+        spp, sub = 1, 8  # ~1.3M tris at the specified film size
     else:
         w = h = 256
         spp, sub = 1, 7  # ~327K tris: single-chip-sane demonstrator
     scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=sub))
     n_tris = int(np.asarray(scene.primitives.category).shape[0])
+    static = pt.SceneStatic.from_scene(scene)
     mesh = mesh_mod.make_mesh()
     t, mpaths = _time_render(
         lambda: render_sharded.render_accumulate_sharded(
@@ -204,6 +214,8 @@ def config5(full=False):
         w * h * spp, iters=1)
     _emit({"config": 5, "scene": f"mesh {n_tris} tris {w}^2 spp{spp} "
            f"sharded mesh={dict(mesh.shape)}", "scaled_down": not full,
+           "spec_spp": 64, "measured_spp": spp,
+           "stream_tris": bool(mk.should_stream_tris(static)),
            "seconds": round(t, 2), "mpaths_per_s": round(mpaths, 4)})
 
 

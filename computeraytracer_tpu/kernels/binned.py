@@ -56,13 +56,14 @@ from computeraytracer_tpu.kernels import meshpack
 
 LANES = mk.LANES
 T_MIN = mk.T_MIN
-# Candidate chunks per ray (slots; padded with -1). r5: 16 -> 6 — every
+# Candidate chunks per ray (slots; padded with -1). r5: 16 -> 8 — every
 # pair-pipeline cost (both lax.sorts, the pair-kernel grid, the (R, k)
-# reduce) scales with R*k, and the mean REAL candidate count is ~1.7
-# (measured, STAGED_r05); rays with more candidates resolve via the
-# shrink pass (mesh_closest_hit) whose hit-bounded re-candidate
-# collapses their sets, with the exact walk as the final fallback.
-DEFAULT_K = 6
+# reduce) scales with R*k, and the mean REAL candidate count is ~1.7-2.6
+# (camera/bounce, measured in STAGED_r05.json). Rays with more
+# candidates (bounce-population tail: ~2.0% at k=8, ~4.7% at k=6,
+# ~0.1% at k=16) fall to the sorted compacted walk — k trades pair-sort
+# bytes against walk-tier occupancy, and 8 balanced both at 1024^2.
+DEFAULT_K = 8
 CAND_BLOCK = 1024     # chunks slab-tested per top-K merge round
 PAIR_TILE_M = 8       # (8, 128) = 1024 pairs per pair-kernel grid step
 
@@ -203,6 +204,185 @@ def candidate_chunks(chunk_bbox, o, d, t_bound=None, k: int = DEFAULT_K):
     best_t, best_c, t_next = jax.lax.fori_loop(
         0, n_blocks, block, (best_t, best_c, t_next))
     return best_c, t_next
+
+
+SUP_CHUNKS = 16       # chunks per supernode in the candidate kernel
+
+
+@functools.lru_cache(maxsize=32)
+def build_candidate_kernel(n_sup: int, k: int, interpret: bool = False,
+                           tile_m: int = PAIR_TILE_M):
+    """Pallas kernel: k nearest candidate chunks per ray, in VMEM.
+
+    The XLA candidate pass materializes the (C, R) entry-distance
+    matrix in HBM and sweeps it k+1 times — ~120 ms/cast at 1024^2
+    (r5 XProf). Here the chunk boxes (C x 32 B) and their SUP_CHUNKS-
+    chunk supernode boxes live in VMEM; each (8, 128) ray tile walks
+    the supernodes with a tile-ANY slab test (identical padded Ize
+    formulas, so a skipped supernode provably contains no chunk any
+    lane could enter) and runs per-lane k-slot insertion compare-swap
+    chains on the chunks of entered supernodes. Only rays in (7
+    planes) and candidates out (k+1 planes) touch HBM. Per tile this
+    is ~entered_supernodes * SUP_CHUNKS * (slab + k compare-swaps) VPU
+    ops — coherent tiles away from the mesh skip ~everything, the
+    structural win dense XLA cannot have.
+
+    f(rays7 (7, M, 128) f32 [o.xyz, d.xyz, t_bound], cboxes
+      (n_sup*SUP_CHUNKS, 8) f32, sboxes (n_sup, 8) f32)
+      -> (cand (k, M, 128) i32 — the k nearest-entry chunk ids, -1
+          padded, ascending t_enter; t_next (1, M, 128) f32 — entry
+          of the first omitted candidate, +inf if none omitted).
+
+    t_bound is the PRE-PADDED cull bound (the wrapper applies the
+    8-ulp pad); lanes with t_bound = -inf produce no candidates and
+    t_next = +inf (the "inactive" encoding). Soundness contract
+    matches candidate_chunks: the slot set is a superset of every
+    chunk whose padded slab interval precedes the bound, and t_next
+    is exactly min(t_enter) over the chunks that did not fit.
+    """
+    shape = (tile_m, LANES)
+
+    def kernel(rays_ref, cbox_ref, sbox_ref, cand_ref, tnext_ref):
+        o = tuple(rays_ref[i] for i in range(3))
+        d = tuple(rays_ref[3 + i] for i in range(3))
+        bound = rays_ref[6]
+        pad = jnp.float32(4 * 2.0 ** -23)
+
+        inv_d = []
+        for c in range(3):
+            tiny = jnp.abs(d[c]) < 1e-12
+            sign = jnp.where(d[c] < 0.0, -1.0, 1.0)
+            inv_d.append(jnp.where(tiny, sign * jnp.float32(1e30),
+                                   1.0 / jnp.where(tiny, 1.0, d[c])))
+
+        def slab(bb):
+            """(t_enter_padded, ok) of box bb (1, 8) for all lanes —
+            _slab_t_enter's exact arithmetic."""
+            t_enter = jnp.full(shape, -jnp.inf, jnp.float32)
+            t_exit = jnp.full(shape, jnp.inf, jnp.float32)
+            for c in range(3):
+                t0 = (bb[0, c] - o[c]) * inv_d[c]
+                t1 = (bb[0, 3 + c] - o[c]) * inv_d[c]
+                t_enter = jnp.maximum(t_enter, jnp.minimum(t0, t1))
+                t_exit = jnp.minimum(t_exit, jnp.maximum(t0, t1))
+            t_exit = t_exit + jnp.abs(t_exit) * pad
+            t_enter = t_enter - jnp.abs(t_enter) * pad
+            ok = ((t_enter <= t_exit) & (t_exit >= T_MIN)
+                  & (t_enter <= bound) & (t_enter < jnp.inf))
+            return t_enter, ok
+
+        inf = jnp.full(shape, jnp.inf, jnp.float32)
+        neg = jnp.full(shape, -1, jnp.int32)
+        slots = (inf,) * k + (neg,) * k  # t0..tk-1 asc, i0..ik-1
+        t_next = inf
+
+        def chunk_step(ci, carry):
+            slots_t = list(carry[:k])
+            slots_i = list(carry[k:2 * k])
+            t_next = carry[2 * k]
+            te, ok = slab(cbox_ref[pl.ds(ci, 1), :])
+            t_new = jnp.where(ok, te, jnp.inf)
+            i_new = jnp.where(ok, ci, -1)
+            for j in range(k):
+                # tie-break equal entries by LOWER chunk id: the chain
+                # shifts an equal-te pair past each other otherwise and
+                # evicts the EARLIER chunk — XLA's k-round argmin keeps
+                # the lowest id among boundary ties, and matching it
+                # keeps the kept-set identical to the tested XLA pass
+                swap = (t_new < slots_t[j]) | (
+                    (t_new == slots_t[j]) & (i_new < slots_i[j]))
+                slots_t[j], t_new = (jnp.where(swap, t_new, slots_t[j]),
+                                     jnp.where(swap, slots_t[j], t_new))
+                slots_i[j], i_new = (jnp.where(swap, i_new, slots_i[j]),
+                                     jnp.where(swap, slots_i[j], i_new))
+            # t_new now holds the evicted (k+1)-th best; once evicted an
+            # entry can never re-enter the slots, so the running min over
+            # evictions is exactly min t_enter of all omitted candidates
+            t_next = jnp.minimum(t_next, t_new)
+            return tuple(slots_t) + tuple(slots_i) + (t_next,)
+
+        def sup_step(s, carry):
+            _, s_ok = slab(sbox_ref[pl.ds(s, 1), :])
+
+            def do(carry):
+                return jax.lax.fori_loop(
+                    s * SUP_CHUNKS, (s + 1) * SUP_CHUNKS, chunk_step,
+                    carry)
+
+            return jax.lax.cond(jnp.any(s_ok), do, lambda c: c, carry)
+
+        out = jax.lax.fori_loop(0, n_sup, sup_step, slots + (t_next,))
+        for j in range(k):
+            cand_ref[j] = out[k + j]
+        tnext_ref[0] = out[2 * k]
+
+    @jax.jit
+    def candidates(rays7, cboxes, sboxes):
+        m = rays7.shape[1]
+        grid = (m // tile_m,)
+        tile = lambda kk: pl.BlockSpec((kk, tile_m, LANES),
+                                       lambda i: (0, i, 0),
+                                       memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tile(7),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[tile(k), tile(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((k, m, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((1, m, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(rays7, cboxes, sboxes)
+
+    return candidates
+
+
+def candidate_chunks_pallas(chunk_bbox, o, d, t_bound=None,
+                            k: int = DEFAULT_K, active=None,
+                            interpret: bool = False):
+    """candidate_chunks via the VMEM kernel. Same contract: (cand
+    (R, k) i32 nearest-entry chunk ids with -1 padding, t_next (R,))."""
+    R = o[0].shape[0]
+    C = chunk_bbox.shape[0]
+    c_pad = -(-C // SUP_CHUNKS) * SUP_CHUNKS
+    cboxes = chunk_bbox
+    if c_pad != C:
+        fill = jnp.zeros((c_pad - C, 8), jnp.float32)             .at[:, 0:6].set(meshpack.BIG)
+        cboxes = jnp.concatenate([chunk_bbox, fill], axis=0)
+    sboxes = jnp.zeros((c_pad // SUP_CHUNKS, 8), jnp.float32)
+    grp = cboxes.reshape(-1, SUP_CHUNKS, 8)
+    sboxes = sboxes.at[:, 0:3].set(grp[:, :, 0:3].min(1))
+    sboxes = sboxes.at[:, 3:6].set(grp[:, :, 3:6].max(1))
+
+    if t_bound is None:
+        bound = jnp.full((R,), jnp.inf, jnp.float32)
+    else:
+        bound = t_bound + jnp.abs(t_bound) * jnp.float32(8 * 2.0 ** -23)
+    if active is not None:
+        bound = jnp.where(active, bound, -jnp.inf)
+
+    tile = PAIR_TILE_M * LANES
+    r_pad = -(-R // tile) * tile
+    m = r_pad // LANES
+
+    def plane(v, fill):
+        if r_pad != R:
+            v = jnp.full((r_pad,), fill, v.dtype).at[:R].set(v)
+        return v.reshape(m, LANES)
+
+    rays7 = jnp.stack([plane(o[0], 0.0), plane(o[1], 0.0),
+                       plane(o[2], 0.0), plane(d[0], 1.0),
+                       plane(d[1], 0.0), plane(d[2], 0.0),
+                       plane(bound, -jnp.inf)])
+    f = build_candidate_kernel(int(c_pad // SUP_CHUNKS), int(k),
+                               interpret)
+    cand_p, tnext_p = f(rays7, cboxes, sboxes)
+    cand = cand_p.reshape(k, r_pad)[:, :R].T          # (R, k)
+    t_next = tnext_p.reshape(r_pad)[:R]
+    return cand, t_next
 
 
 @functools.lru_cache(maxsize=32)
@@ -387,9 +567,11 @@ def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
     """
     tri_rows, chunk_bbox = pack_arrays[0], pack_arrays[1]
     R = o[0].shape[0]
-    cand, t_next = candidate_chunks(chunk_bbox, o, d, t_bound, k)
-    if active is not None:
-        cand = jnp.where(active[:, None], cand, -1)
+    # the VMEM candidate kernel (vs the dense XLA pass): same contract,
+    # ~4-6x cheaper at 1024^2, and inactive lanes come back RESOLVED
+    # (empty candidate set, t_next=+inf) instead of joining the walk
+    cand, t_next = candidate_chunks_pallas(chunk_bbox, o, d, t_bound, k,
+                                           active, interpret)
 
     P = R * k
     tile = PAIR_TILE_M * LANES
@@ -569,7 +751,13 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         resolved = resolved & res
 
     tile = PAIR_TILE_M * LANES
-    u_max = tile * max(1, R // (8 * tile))
+    # tiered compaction budgets: the walk pays for its BUDGET (tiles are
+    # a compile-time size), not its occupancy — measured 95 ms/cast at
+    # 1024^2 with a flat R/8 budget serving ~4.7% unresolved. The small
+    # tier covers the common case; the bigger one is the safety net
+    # before walk_full.
+    u_tiers = sorted({tile * max(1, R // (32 * tile)),
+                      tile * max(1, R // (8 * tile))})
     unres = ~resolved
     n_unres = jnp.sum(unres)
     walk = build_walk_kernel(static, PAIR_TILE_M, interpret)
@@ -595,7 +783,10 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         return (flat(of, 0), flat(oi, 0).astype(jnp.int32),
                 flat(of, 1), flat(of, 2), flat(of, 3))
 
-    def walk_compact(args):
+    def make_walk_compact(u_max):
+        return lambda args: walk_compact(args, u_max)
+
+    def walk_compact(args, u_max):
         """Gather unresolved rays into u_max slots, walk those tiles,
         scatter the results back. Empty slots carry t_best = -inf so
         the walk's slab culls reject every box for them.
@@ -661,9 +852,14 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         return t2, i2, n02, n12, n22
 
     args = (t_w, i_w, n_w[0], n_w[1], n_w[2])
+
+    def dispatch(tiers):
+        if not tiers:
+            return walk_full
+        u, rest = tiers[0], tiers[1:]
+        wc = make_walk_compact(u)
+        return lambda a: jax.lax.cond(n_unres <= u, wc, dispatch(rest), a)
+
     t_w, i_w, n0_, n1_, n2_ = jax.lax.cond(
-        n_unres == 0, lambda a: a,
-        lambda a: jax.lax.cond(n_unres <= u_max, walk_compact,
-                               walk_full, a),
-        args)
+        n_unres == 0, lambda a: a, dispatch(u_tiers), args)
     return t_w, i_w, (n0_, n1_, n2_)
