@@ -56,14 +56,15 @@ from computeraytracer_tpu.kernels import meshpack
 
 LANES = mk.LANES
 T_MIN = mk.T_MIN
-# Candidate chunks per ray (slots; padded with -1). r5: 16 -> 8 — every
+# Candidate chunks per ray (slots; padded with -1). r5: 16 -> 6 — every
 # pair-pipeline cost (both lax.sorts, the pair-kernel grid, the (R, k)
 # reduce) scales with R*k, and the mean REAL candidate count is ~1.7-2.6
 # (camera/bounce, measured in STAGED_r05.json). Rays with more
 # candidates (bounce-population tail: ~2.0% at k=8, ~4.7% at k=6,
-# ~0.1% at k=16) fall to the sorted compacted walk — k trades pair-sort
-# bytes against walk-tier occupancy, and 8 balanced both at 1024^2.
-DEFAULT_K = 8
+# ~0.1% at k=16) fall to the sorted tiered compacted walk, which costs
+# its budget, not k. Measured end-to-end at 1024^2 82K tris depth 3:
+# k=6 0.387 Mpaths/s vs k=8 0.338 (the sorts dominate the cast).
+DEFAULT_K = 6
 CAND_BLOCK = 1024     # chunks slab-tested per top-K merge round
 PAIR_TILE_M = 8       # (8, 128) = 1024 pairs per pair-kernel grid step
 
@@ -588,11 +589,15 @@ def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
                     jnp.uint32(0xFFFFFFFF))
     rep = lambda comp: jnp.broadcast_to(comp[:, None], (R, k)).reshape(P)
     p0 = jnp.arange(P, dtype=jnp.int32)   # original (ray, slot) index
-    (_, chunk_s, p0_s, o0s, o1s, o2s, d0s, d1s, d2s,
+    (key_s, p0_s, o0s, o1s, o2s, d0s, d1s, d2s,
      ex_s) = jax.lax.sort(
-        (key, cand_flat, p0, rep(o[0]), rep(o[1]), rep(o[2]),
+        (key, p0, rep(o[0]), rep(o[1]), rep(o[2]),
          rep(d[0]), rep(d[1]), rep(d[2]),
          rep(exclude.astype(jnp.int32))), num_keys=1)
+    # chunk ids ride the KEY (dead = 0xFFFFFFFF -> -1): one payload
+    # less through the P-sized sort
+    chunk_s = jnp.where(key_s == jnp.uint32(0xFFFFFFFF), -1,
+                        key_s.astype(jnp.int32))
 
     def plane1(v, fill):
         if p_pad != P:
