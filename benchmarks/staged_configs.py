@@ -96,9 +96,24 @@ def config3(full=False):
     spp = 8 if full else 1
     scene, _ = scene_from_dict(presets.mesh_scene(w, h, subdivisions=6))
     n_tris = int(np.asarray(scene.primitives.category).shape[0])
-    t, mpaths = _time_render(
-        lambda: pt.render_accumulate(scene, w, h, spp=spp, max_depth=3),
-        w * h * spp, iters=1)
+    static0 = pt.SceneStatic.from_scene(scene)
+    packs = pt.mesh_packs_for(scene, static0)
+
+    # forward on the production planar path (the (H, W, 3) layout pads
+    # its 3-wide minor dim 42x on TPU; render_sample_planar is what the
+    # training loop and bench.py use)
+    @jax.jit
+    def fwd():
+        def body(acc, s):
+            return acc + pt.render_sample_planar(
+                scene, w, h, s, max_depth=3, static=static0,
+                mesh_packs=packs, backward="none"), None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((3, h, w), jnp.float32),
+            jnp.arange(1, spp + 1, dtype=jnp.uint32))
+        return acc
+
+    t, mpaths = _time_render(fwd, w * h * spp, iters=1)
 
     # full-resolution vertex+albedo gradient through the taped replay
     static = pt.SceneStatic.from_scene(scene)

@@ -839,11 +839,14 @@ ARRAYS_PER_PART = 4  # tri_rows, chunk_bbox, node_bbox, node_meta
 # Mesh parts beyond this many total triangles keep tri_rows in HBM and
 # DMA one chunk (16 rows = 8 KiB) into VMEM scratch per box-hit leaf
 # chunk, instead of pinning the whole array in VMEM. tri_rows costs
-# ~64 B/triangle: 400K tris ~ 26 MiB resident — comfortable; the
-# config-5 scale (~1.3M tris ~ 84 MiB) cannot be VMEM-resident at all
-# (BASELINE.json north star: "flattened node arrays in HBM"). The BVH
-# boxes/meta stay VMEM-resident at every scale (~40 KiB per 100K tris).
-STREAM_TRIS_ABOVE = 400_000
+# ~64 B/triangle, and Mosaic's SCOPED vmem budget for whole-array
+# kernel operands is 16 MiB on v5e (a 327K-tri part = 21 MiB OOMed the
+# walk kernel in the r5 staged run): 180K tris ~ 11.5 MiB leaves room
+# for the carry. The config-5 scale (~1.3M tris ~ 84 MiB) cannot be
+# VMEM-resident at all (BASELINE.json north star: "flattened node
+# arrays in HBM"). The BVH boxes/meta stay VMEM-resident at every
+# scale (~40 KiB per 100K tris).
+STREAM_TRIS_ABOVE = 180_000
 
 
 def should_stream_tris(static: "SceneStatic") -> bool:

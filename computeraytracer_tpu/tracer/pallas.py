@@ -496,8 +496,15 @@ def _dispatch(scene, static, rays, seeds, spect_p, max_depth, rr_start,
                               tile_m, interpret)
         fwd_t = _forward_cached(static, int(max_depth), int(rr_start),
                                 tile_m, interpret, "full")
+        # the reverse sweep's tape arrives as PIPELINED inputs (double-
+        # buffered blocks), unlike build_backward's scratch tape — at
+        # tile_m=32 depth 8 that plus the in-register linearization
+        # exceeds Mosaic's 16 MiB scoped-vmem budget (measured r5);
+        # halving the backward's tile halves every per-tile buffer, and
+        # tile size only changes d_prims' f32 accumulation order
         bwd_t = _backward_tape_cached(static, int(max_depth),
-                                      int(rr_start), tile_m, interpret)
+                                      int(rr_start), min(tile_m, 16),
+                                      interpret)
         out = _call_taped(fwd, fwd_t, bwd_t, mk.pack_prims(scene, static),
                           rays, seeds, spect_p)
     else:
