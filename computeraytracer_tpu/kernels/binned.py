@@ -868,3 +868,123 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     t_w, i_w, n0_, n1_, n2_ = jax.lax.cond(
         n_unres == 0, lambda a: a, dispatch(u_tiers), args)
     return t_w, i_w, (n0_, n1_, n2_)
+
+
+def mesh_closest_hit_batched(static, mesh_arrays, o, d, exclude,
+                             t_bound=None, k: int = DEFAULT_K,
+                             interpret: bool = False, active=None,
+                             batch: int | None = None,
+                             threshold: int | None = None):
+    """mesh_closest_hit whose cost scales with the LIVE population.
+
+    The binned pipeline's dominant costs (the two R*k pair sorts, the
+    candidate kernel, the pair kernel) are sized by the FILM, not by how
+    many rays still need a cast — but bounce populations decay fast (RR
+    + light-hit termination: measured at depth 8 the per-cast live
+    fractions are 1.0/.89/.89/.66/.66/.54 for bounces 0-2 and then
+    collapse to .08 -> .003 for bounces 3-8; benchmarks/
+    wavefront_populations.py), and the per-light NEE populations are
+    sparser still. Here live rays are compacted to a prefix by ONE
+    liveness sort (ray id rides the key, so film-block coherence — what
+    the candidate kernel's tile-ANY supernode culls feed on — survives
+    on both sides of the boundary), then fixed-size batches of the
+    prefix run the full pipeline under a lax.while_loop whose trip
+    count is ceil(n_live / batch): a cast pays for its population,
+    quantized to one batch, and every sparse cast in the unrolled
+    wavefront SHARES the one compiled batch body.
+
+    threshold: populations ABOVE it take the plain full-film pipeline
+    in one piece (a lax.cond picks per cast at runtime). Measured at
+    1024^2 82K tris: batching everything is 1.6x at depth 8 (tail
+    casts) but 0.87x at depth 3 (dense casts pay ~10-15 ms/batch of
+    dispatch + small-size sort inefficiency for quantization savings
+    they don't have); the hybrid keeps both wins. R//4 is the
+    break-even measured for batch=R//8.
+
+    Bit-exact with mesh_closest_hit: every per-lane quantity in the
+    pipeline is independent of tile/batch composition (per-lane slab
+    insertion, per-lane masked pair scans, per-lane seeded walk — see
+    the soundness contracts above), and the un-permute is a sort on the
+    original ray id. Inactive rays return the inactive encoding
+    (t=+inf, idx=-1, n=0) exactly as the active-masked plain path does.
+    Requires `active`; falls back to the plain path when batch is None
+    or does not subdivide the population (small films / tests).
+    """
+    R = o[0].shape[0]
+    tile = PAIR_TILE_M * LANES
+    if batch is not None:
+        batch = max(tile, (batch // tile) * tile)
+    if batch is None or active is None or batch >= R:
+        return mesh_closest_hit(static, mesh_arrays, o, d, exclude,
+                                t_bound=t_bound, k=k, interpret=interpret,
+                                active=active)
+    if t_bound is None:
+        t_bound = jnp.full((R,), jnp.inf, jnp.float32)
+    nb_max = -(-R // batch)
+    r_pad = nb_max * batch
+    n_live = jnp.sum(active.astype(jnp.int32))
+
+    def plain(_):
+        t, i, n = mesh_closest_hit(static, mesh_arrays, o, d, exclude,
+                                   t_bound=t_bound, k=k,
+                                   interpret=interpret, active=active)
+        return t, i, n[0], n[1], n[2]
+
+    def batched(_):
+        # live-first stable partition: ray id rides the key (bit 31 =
+        # dead)
+        rid = jnp.arange(R, dtype=jnp.uint32)
+        key = jnp.where(active, rid, rid | jnp.uint32(1 << 31))
+        (key_s, o0s, o1s, o2s, d0s, d1s, d2s, ex_s, tb_s) = jax.lax.sort(
+            (key, o[0], o[1], o[2], d[0], d[1], d[2],
+             exclude.astype(jnp.int32), t_bound), num_keys=1)
+        rid_s = key_s & jnp.uint32(0x7FFFFFFF)
+
+        def padto(v, fill):
+            if r_pad == R:
+                return v
+            return jnp.full((r_pad,), fill, v.dtype).at[:R].set(v)
+
+        o_s = (padto(o0s, 0.0), padto(o1s, 0.0), padto(o2s, 0.0))
+        d_s = (padto(d0s, 1.0), padto(d1s, 0.0), padto(d2s, 0.0))
+        ex_p = padto(ex_s, -1)
+        tb_p = padto(tb_s, 0.0)  # padded lanes are inactive
+
+        t0 = jnp.full((r_pad,), jnp.inf, jnp.float32)
+        i0 = jnp.full((r_pad,), -1, jnp.int32)
+        z0 = jnp.zeros((r_pad,), jnp.float32)
+        nb = (n_live + batch - 1) // batch
+
+        def body(carry):
+            i, t_a, i_a, n0_a, n1_a, n2_a = carry
+            s = i * batch
+            sl = lambda a: jax.lax.dynamic_slice(a, (s,), (batch,))
+            act = (jnp.arange(batch, dtype=jnp.int32) + s) < n_live
+            t_b, i_b, n_b = mesh_closest_hit(
+                static, mesh_arrays,
+                (sl(o_s[0]), sl(o_s[1]), sl(o_s[2])),
+                (sl(d_s[0]), sl(d_s[1]), sl(d_s[2])),
+                sl(ex_p), t_bound=sl(tb_p), k=k, interpret=interpret,
+                active=act)
+            upd = lambda a, v: jax.lax.dynamic_update_slice(a, v, (s,))
+            return (i + 1, upd(t_a, t_b), upd(i_a, i_b),
+                    upd(n0_a, n_b[0]), upd(n1_a, n_b[1]),
+                    upd(n2_a, n_b[2]))
+
+        _, t_s, i_s, n0_s, n1_s, n2_s = jax.lax.while_loop(
+            lambda c: c[0] < nb, body, (jnp.int32(0), t0, i0, z0, z0, z0))
+
+        # un-permute by original ray id (padding ids sort last, trimmed)
+        (_, t_o, i_o, n0_o, n1_o, n2_o) = jax.lax.sort(
+            (padto(rid_s, jnp.uint32(0xFFFFFFFF)), t_s, i_s,
+             n0_s, n1_s, n2_s), num_keys=1)
+        trim = lambda a: a[:R]
+        return (trim(t_o), trim(i_o), trim(n0_o), trim(n1_o),
+                trim(n2_o))
+
+    if threshold is not None and threshold < R:
+        t, i, n0, n1, n2 = jax.lax.cond(n_live <= threshold, batched,
+                                        plain, 0)
+    else:
+        t, i, n0, n1, n2 = batched(0)
+    return t, i, (n0, n1, n2)

@@ -57,6 +57,15 @@ SceneStatic = mk.SceneStatic
 # triangles tested (kernels/binned.py header).
 MESH_WAVEFRONT_DEFAULT = True
 
+# Rays per compacted-cast batch = R / BATCH_FRACTION, and casts with
+# more than R / THRESHOLD_FRACTION live rays skip compaction entirely
+# (binned.mesh_closest_hit_batched threshold): dense casts pay zero
+# overhead, sparse ones pay per live batch. Measured at 1024^2 82K
+# tris: batch-everything was 1.6x at depth 8 but 0.87x at depth 3;
+# the hybrid keeps the dense casts at the plain pipeline's cost.
+MESH_CAST_BATCH_FRACTION = 8
+MESH_CAST_THRESHOLD_FRACTION = 4
+
 
 @functools.lru_cache(maxsize=64)
 def _forward_cached(static, max_depth, rr_start, tile_m, interpret,
@@ -246,11 +255,19 @@ def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
 
         t_bound: occlusion bound per ray (the unrolled-scene winner's
         t, +inf on miss) — candidate chunks entirely behind it are
-        culled before any pair is formed."""
+        culled before any pair is formed. Sparse casts (live <=
+        R / MESH_CAST_THRESHOLD_FRACTION) are live-compacted and
+        batched (binned.mesh_closest_hit_batched): each pays
+        ceil(live / (R / MESH_CAST_BATCH_FRACTION)) batch bodies, and
+        all sparse casts share the one compiled body; dense casts run
+        the plain full-film pipeline."""
+        batch = R // MESH_CAST_BATCH_FRACTION
+
         def go(_):
-            t, i, n = binned.mesh_closest_hit(
+            t, i, n = binned.mesh_closest_hit_batched(
                 static, mesh_arrays, o, d, exclude, t_bound=t_bound,
-                interpret=interpret, active=mask)
+                interpret=interpret, active=mask, batch=batch,
+                threshold=R // MESH_CAST_THRESHOLD_FRACTION)
             return t, i, n[0], n[1], n[2]
 
         return jax.lax.cond(

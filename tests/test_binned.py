@@ -72,3 +72,57 @@ def test_candidate_kernel_unpadded_chunk_count():
     both = np.isfinite(t1n) & np.isfinite(t2n)
     assert (np.isfinite(t1n) == np.isfinite(t2n)).all()
     assert (t1n[both] == t2n[both]).all()
+
+
+def test_batched_cast_matches_plain():
+    """mesh_closest_hit_batched (live-compacted while-loop batches) is
+    bit-identical to the plain active-masked path at every live
+    fraction: per-lane pipeline quantities are batch-composition-
+    independent and the un-permute is a sort on ray id."""
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    scene, _ = scene_from_dict(presets.mesh_scene(16, 16, subdivisions=2))
+    static = pt.SceneStatic.from_scene(scene, mesh_min=64)
+    assert static.mesh_parts
+    packs = pt.mesh_packs_for(scene, static)
+    mesh_arrays = tuple(jnp.asarray(a) for p in packs for a in p.arrays)
+    rng_ = np.random.default_rng(1)
+    R = 4096  # 4 batches of 1024
+    # origins in a shell around the mesh bbox, directions at random
+    # points inside it: a healthy fraction of rays actually hit
+    bb = np.asarray(packs[0].chunk_bbox)
+    real = np.abs(bb[:, 0:6]).max(1) < 1e6  # drop meshpack.BIG padding
+    bb = bb[real]
+    lo, hi = bb[:, 0:3].min(0), bb[:, 3:6].max(0)
+    ctr, ext = (lo + hi) / 2, (hi - lo)
+    on = ctr + rng_.uniform(-1.5, 1.5, (R, 3)) * ext
+    tgt = ctr + rng_.uniform(-0.5, 0.5, (R, 3)) * ext
+    dn = tgt - on
+    dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+    o = tuple(jnp.asarray(on[:, c], jnp.float32) for c in range(3))
+    d = tuple(jnp.asarray(dn[:, c], jnp.float32) for c in range(3))
+    ex = jnp.full((R,), -1, jnp.int32)
+    tb = jnp.asarray(rng_.uniform(1.0, 1e4, R), jnp.float32)
+    for frac in (0.03, 0.5, 1.0):
+        act = jnp.asarray(rng_.uniform(size=R) < frac)
+        t1, i1, n1 = binned.mesh_closest_hit(
+            static, mesh_arrays, o, d, ex, t_bound=tb, interpret=True,
+            active=act)
+        t2, i2, n2 = binned.mesh_closest_hit_batched(
+            static, mesh_arrays, o, d, ex, t_bound=tb, interpret=True,
+            active=act, batch=1024)
+        assert (np.asarray(i1) == np.asarray(i2)).all(), frac
+        assert (np.asarray(t1) == np.asarray(t2)).all(), frac
+        for c in range(3):
+            assert (np.asarray(n1[c]) == np.asarray(n2[c])).all(), frac
+        # some rays of every population actually hit the mesh
+        if frac >= 0.5:
+            assert (np.asarray(i1) >= 0).any()
+        # threshold dispatch: sparse populations batch, dense ones take
+        # the plain branch — either way identical to the reference
+        t3, i3, _ = binned.mesh_closest_hit_batched(
+            static, mesh_arrays, o, d, ex, t_bound=tb, interpret=True,
+            active=act, batch=1024, threshold=R // 4)
+        assert (np.asarray(i1) == np.asarray(i3)).all(), frac
+        assert (np.asarray(t1) == np.asarray(t3)).all(), frac
