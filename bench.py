@@ -66,6 +66,11 @@ def main() -> int:
                     "loop amortizes it (lax.scan over samples)")
     ap.add_argument("--forward", action="store_true",
                     help="forward-only instead of fwd+bwd")
+    ap.add_argument("--backward", default="pallas",
+                    choices=["pallas", "pallas_taped"],
+                    help="Cornell backward variant: in-kernel re-trace "
+                    "(default; measured faster) or tape-fed reverse "
+                    "sweep")
     ap.add_argument("--mesh", action="store_true",
                     help="BASELINE config-3 shape instead of Cornell: "
                     "~82K-tri mesh scene, fwd+bwd through the taped "
@@ -217,7 +222,8 @@ def main() -> int:
             return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 
         xla_g = make_loss(xla_tracer)
-        pal_g = make_loss(pallas_tracer, static=static)
+        pal_g = make_loss(pallas_tracer, static=static,
+                          backward=args.backward)
         spectra = jnp.asarray(scene.spectra)
         d1 = jnp.asarray(scene.primitives.data1)
         xla_bench = lambda: xla_g(spectra, d1)

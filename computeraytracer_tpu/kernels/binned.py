@@ -108,7 +108,7 @@ def _slab_t_enter(cbox_blk, o, d, t_bound):
     return jnp.where(ok, t_enter_p, jnp.inf)
 
 
-def candidate_chunks(chunk_bbox, o, d, t_bound=None, k: int = DEFAULT_K):
+def candidate_chunks(chunk_bbox, o, d, t_bound=None, k: int | None = None):
     """K nearest candidate chunks per ray, by AABB entry distance.
 
     chunk_bbox (C, 8) f32; o, d component tuples of (R,) f32 (planar);
@@ -129,6 +129,7 @@ def candidate_chunks(chunk_bbox, o, d, t_bound=None, k: int = DEFAULT_K):
     A found hit with t <= t_next is provably the global winner, and a
     total miss with t_next == +inf is provably a miss.
     """
+    k = DEFAULT_K if k is None else k
     R = o[0].shape[0]
     C = chunk_bbox.shape[0]
     if t_bound is None:
@@ -342,10 +343,11 @@ def build_candidate_kernel(n_sup: int, k: int, interpret: bool = False,
 
 
 def candidate_chunks_pallas(chunk_bbox, o, d, t_bound=None,
-                            k: int = DEFAULT_K, active=None,
+                            k: int | None = None, active=None,
                             interpret: bool = False):
     """candidate_chunks via the VMEM kernel. Same contract: (cand
     (R, k) i32 nearest-entry chunk ids with -1 padding, t_next (R,))."""
+    k = DEFAULT_K if k is None else k
     R = o[0].shape[0]
     C = chunk_bbox.shape[0]
     c_pad = -(-C // SUP_CHUNKS) * SUP_CHUNKS
@@ -536,7 +538,7 @@ def _merge_tie(t_a, i_a, n_a, t_b, i_b, n_b):
 
 
 def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
-                k: int = DEFAULT_K, interpret: bool = False,
+                k: int | None = None, interpret: bool = False,
                 stream_tris: bool = False, active=None):
     """Closest mesh hit per ray for ONE mesh part, binned-dense.
 
@@ -567,6 +569,7 @@ def mesh_winner(pack_arrays, o, d, exclude, t_bound=None,
     one) — the caller must finish them (shrink pass / exact tree walk).
     """
     tri_rows, chunk_bbox = pack_arrays[0], pack_arrays[1]
+    k = DEFAULT_K if k is None else k
     R = o[0].shape[0]
     # the VMEM candidate kernel (vs the dense XLA pass): same contract,
     # ~4-6x cheaper at 1024^2, and inactive lanes come back RESOLVED
@@ -693,10 +696,17 @@ def build_walk_kernel(static, tile_m: int = PAIR_TILE_M,
             for _k in range(mk.ARRAYS_PER_PART - 1):
                 mesh_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         scratch = []
+        params = None
         if stream_tris:
             scratch = [pltpu.VMEM((meshpack.ROWS_PER_CHUNK, LANES),
                                   jnp.float32),
                        pltpu.SemaphoreType.DMA(())]
+            # config-5-scale meshes (1.3M tris -> 16K chunk boxes + 8K
+            # node boxes resident in VMEM): the tile-ANY sweeps'
+            # intermediates put the kernel ~1% over Mosaic's default
+            # 16 MiB scoped-vmem budget (measured at 2048^2); raise it
+            # (v5e has 128 MiB VMEM and the walk runs alone)
+            params = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -707,6 +717,7 @@ def build_walk_kernel(static, tile_m: int = PAIR_TILE_M,
                 jax.ShapeDtypeStruct((1, m, LANES), jnp.int32),
             ],
             scratch_shapes=scratch,
+            compiler_params=params,
             interpret=interpret,
         )(rays, seed_f, seed_i, *mesh_arrays)
 
@@ -714,7 +725,7 @@ def build_walk_kernel(static, tile_m: int = PAIR_TILE_M,
 
 
 def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
-                     k: int = DEFAULT_K, interpret: bool = False,
+                     k: int | None = None, interpret: bool = False,
                      active=None):
     """Closest mesh hit per ray across ALL mesh parts, with the exact
     tree-walk fallback for unresolved rays.
@@ -742,6 +753,7 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     tile — slow but exact.
     """
     stream = mk.should_stream_tris(static)
+    k = DEFAULT_K if k is None else k
     R = o[0].shape[0]
     t_w = jnp.full((R,), jnp.inf, jnp.float32)
     i_w = jnp.full((R,), -1, jnp.int32)
@@ -871,7 +883,7 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
 
 
 def mesh_closest_hit_batched(static, mesh_arrays, o, d, exclude,
-                             t_bound=None, k: int = DEFAULT_K,
+                             t_bound=None, k: int | None = None,
                              interpret: bool = False, active=None,
                              batch: int | None = None,
                              threshold: int | None = None):

@@ -509,6 +509,20 @@ def _dispatch(scene, static, rays, seeds, spect_p, max_depth, rr_start,
                                        prims_u, rays, seeds, spect_p,
                                        mesh_arrays, interpret)
     elif backward == "pallas":
+        # re-trace the full forward INSIDE the backward kernel, then
+        # the reverse sweep — no tape traffic. DEFAULT over the tape-
+        # fed variant below: measured 1024^2 depth 8 Cornell fwd+bwd
+        # 15.1 (retrace, tile 32) vs 14.4 (tape-fed, tile 16)
+        # Mpaths/s — the pipelined tape reads plus the halved backward
+        # tile (forced by Mosaic's scoped-vmem budget) cost more than
+        # the in-kernel re-trace saves at this shape.
+        fwd = _forward_cached(static, int(max_depth), int(rr_start),
+                              tile_m, interpret)
+        bwd = _backward_cached(static, int(max_depth), int(rr_start),
+                               tile_m, interpret)
+        out = _call_with_vjp(fwd, bwd, mk.pack_prims(scene, static),
+                             rays, seeds, spect_p)
+    elif backward == "pallas_taped":
         fwd = _forward_cached(static, int(max_depth), int(rr_start),
                               tile_m, interpret)
         fwd_t = _forward_cached(static, int(max_depth), int(rr_start),

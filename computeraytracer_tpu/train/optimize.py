@@ -142,6 +142,15 @@ def make_train_step(static_scene, optimizer, width, height, spp, max_depth,
                                                   first_sample)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # projected step: spectra (reflectance/emission/extinction) are
+        # physically nonnegative, and Adam's normalized step walks rows
+        # with ~zero gradient (the extinction row, when nothing glass is
+        # on screen) a full -lr per step regardless of gradient scale —
+        # a NEGATIVE extinction makes Beer-Lambert exp(+sigma*t) blow up
+        # within one step at scene-scale distances (measured: loss
+        # 0.27 -> 4e22 in one 1024^2 config-4 step before this clamp)
+        if "spectra" in params:
+            params["spectra"] = jnp.maximum(params["spectra"], 0.0)
         return params, opt_state, loss
 
     return step

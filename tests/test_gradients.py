@@ -121,3 +121,20 @@ def test_optimize_with_pallas_kernel(simple_scene):
                              learning_rate=0.05, spp=1, max_depth=2,
                              kernel="pallas")
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_optimize_keeps_spectra_nonnegative(simple_scene):
+    """Projected step: rows with ~zero gradient (extinction when no
+    glass is on screen) must not be walked negative by Adam's
+    normalized update — a negative extinction explodes Beer-Lambert
+    exp(+sigma*t) at scene-scale distances (the 1024^2 config-4 NaN)."""
+    w = h = 12
+    target = opt.render_mean_xyz(simple_scene, w, h, spp=1, max_depth=2)
+    perturbed = simple_scene._replace(
+        spectra=jnp.asarray(simple_scene.spectra).at[2].mul(0.3))
+    rec, losses = opt.optimize(perturbed, target, w, h, steps=6,
+                               learning_rate=0.2, spp=1, max_depth=2)
+    import numpy as np
+    sp = np.asarray(rec.spectra)
+    assert (sp >= 0.0).all(), sp.min()
+    assert np.isfinite(losses).all(), losses

@@ -187,9 +187,10 @@ def test_mesh_scene_gradients_via_replay():
     assert np.abs(np.asarray(g_pal[0])[6:]).max() > 0
 
 
-@pytest.mark.parametrize("backward", ["pallas", "xla"])
+@pytest.mark.parametrize("backward", ["pallas", "pallas_taped", "xla"])
 def test_spectra_gradient_matches_xla(simple_scene, backward):
-    """Backward megakernel (and the XLA-recompute fallback) == XLA AD."""
+    """Backward megakernel (retrace default + tape-fed variant) and the
+    XLA-recompute fallback == XLA AD."""
     import jax
 
     w = h = 8
