@@ -106,7 +106,7 @@ def main() -> int:
     recovered, losses = opt.optimize(
         perturbed, target, w, h, trainable=("spectra",),
         steps=args.steps, learning_rate=args.lr, spp=args.spp,
-        max_depth=args.depth, kernel="pallas",
+        max_depth=args.depth, kernel="pallas", lr_schedule="cosine",
         callback=lambda i, loss, p: print(
             f"step {i:4d}  loss {loss:.6e}", file=sys.stderr, flush=True))
     t_opt = time.perf_counter() - t0
@@ -117,6 +117,16 @@ def main() -> int:
 
     sp_err0 = float(jnp.abs(jnp.asarray(perturbed.spectra) - spectra0).max())
     sp_err1 = float(jnp.abs(jnp.asarray(recovered.spectra) - spectra0).max())
+    # per-row absolute + relative (to the row's own scale) errors: the
+    # light row's absolute scale (~15-18) dominates the max-abs metric
+    e0 = np.abs(np.asarray(perturbed.spectra) - np.asarray(spectra0))
+    e1 = np.abs(np.asarray(recovered.spectra) - np.asarray(spectra0))
+    scale = np.maximum(np.abs(np.asarray(spectra0)).max(axis=1), 1e-6)
+    per_row = {
+        str(i): {"before_abs": round(float(e0[i].max()), 4),
+                 "after_abs": round(float(e1[i].max()), 4),
+                 "after_rel": round(float(e1[i].max() / scale[i]), 4)}
+        for i in range(e0.shape[0]) if e0[i].max() > 0 or e1[i].max() > 0}
     rec = {
         "config": 4,
         "scene": "cornell multi-material (diffuse/glass/mirror/emissive)",
@@ -126,6 +136,7 @@ def main() -> int:
         "loss_curve": [round(x, 8) for x in losses],
         "spectra_maxerr_before": round(sp_err0, 5),
         "spectra_maxerr_after": round(sp_err1, 5),
+        "spectra_err_per_row": per_row,
         "target_render_seconds": round(t_target, 2),
         "optimize_seconds": round(t_opt, 2),
         "seconds_per_step": round(t_opt / max(1, args.steps), 3),

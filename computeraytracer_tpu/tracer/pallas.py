@@ -49,12 +49,12 @@ LANES = mk.LANES
 SceneStatic = mk.SceneStatic
 
 # Resolved default for trace_radiance(wavefront=None) on mesh scenes.
-# Measured on v5e, 81920 tris (STAGED_r05.json, committed this round):
-# the binned wavefront renders 1024^2 depth-3 at 0.39 Mpaths/s and
-# depth-8 at ~0.2 vs 0.016 for the in-kernel tile-ANY bounce loop at
-# 256^2 depth-8 (r4) — incoherent bounce casts dominate mesh renders,
-# and per-ray candidate culling beats tile-ANY there by ~40x in
-# triangles tested (kernels/binned.py header).
+# Measured on v5e, 81920 tris (STAGED_r05.json): the binned wavefront
+# renders 1024^2 depth-3 at 0.49 Mpaths/s and depth-8 at 0.39 vs 0.016
+# for the in-kernel tile-ANY bounce loop at 256^2 depth-8 (r4) —
+# incoherent bounce casts dominate mesh renders, and per-ray candidate
+# culling beats tile-ANY there by ~40x in triangles tested
+# (kernels/binned.py header).
 MESH_WAVEFRONT_DEFAULT = True
 
 # Rays per compacted-cast batch = R / BATCH_FRACTION, and casts with

@@ -176,7 +176,8 @@ def optimize(scene, target, width, height, *, trainable=("spectra",),
              steps=50, learning_rate=0.05, spp=4, max_depth=4,
              rr_start: int = 1, mesh=None, checkpoint_dir: Optional[str] = None,
              checkpoint_every: int = 25, callback=None,
-             fresh_samples: bool = False, kernel: str = "xla"):
+             fresh_samples: bool = False, kernel: str = "xla",
+             lr_schedule: Optional[str] = None):
     """Run the material/geometry optimization loop (config 4).
 
     fresh_samples=False (default) uses the SAME sample set every step
@@ -184,10 +185,20 @@ def optimize(scene, target, width, height, *, trainable=("spectra",),
     parameters, so against a target rendered with the same seeds the MC
     noise cancels exactly. fresh_samples=True advances the sample
     counter every step (less bias from a single sample set, but the
-    loss sequence carries MC noise). Returns (scene, losses).
+    loss sequence carries MC noise). lr_schedule="cosine" decays the
+    learning rate to ~0 over `steps` — a fixed Adam lr oscillates
+    around the optimum at its step size (measured: the 1024^2 config-4
+    recovery plateaus at loss ~0.02 with lr 0.06; the decay settles
+    it). Returns (scene, losses).
     """
     params, static_scene = split_scene(scene, trainable)
-    optimizer = optax.adam(learning_rate)
+    if lr_schedule == "cosine":
+        optimizer = optax.adam(
+            optax.cosine_decay_schedule(learning_rate, max(1, steps)))
+    elif lr_schedule is None:
+        optimizer = optax.adam(learning_rate)
+    else:
+        raise ValueError(f"unknown lr_schedule: {lr_schedule!r}")
     opt_state = optimizer.init(params)
     step_fn = make_train_step(static_scene, optimizer, width, height, spp,
                               max_depth, rr_start, mesh, kernel=kernel)
