@@ -767,6 +767,23 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         t_w, i_w, n_w = _merge_tie(t_w, i_w, n_w, t_p, i_p, n_p)
         resolved = resolved & res
 
+    args = (t_w, i_w, n_w[0], n_w[1], n_w[2])
+    t_w, i_w, n0_, n1_, n2_ = _walk_finish(
+        static, mesh_arrays, o, d, exclude, ~resolved, args, interpret)
+    return t_w, i_w, (n0_, n1_, n2_)
+
+
+def _walk_finish(static, mesh_arrays, o, d, exclude, unres, args,
+                 interpret):
+    """Finish unresolved rays with the tiered compacted seeded walk.
+
+    args = (t, idx, n0, n1, n2) seeds per ray; rays with unres=False
+    pass through untouched (re-testing a seeded winner is a no-op
+    under the tie rule). Shared by mesh_closest_hit (seeded with the
+    binned winner) and mesh_occluded (seeded empty).
+    """
+    R = o[0].shape[0]
+    n_unres = jnp.sum(unres)
     tile = PAIR_TILE_M * LANES
     # tiered compaction budgets: the walk pays for its BUDGET (tiles are
     # a compile-time size), not its occupancy — measured 95 ms/cast at
@@ -775,8 +792,6 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
     # before walk_full.
     u_tiers = sorted({tile * max(1, R // (32 * tile)),
                       tile * max(1, R // (8 * tile))})
-    unres = ~resolved
-    n_unres = jnp.sum(unres)
     walk = build_walk_kernel(static, PAIR_TILE_M, interpret)
 
     def planes_of(cols, dtype, n, m):
@@ -868,8 +883,6 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         n22 = upd(n2_, flat(of, 3))
         return t2, i2, n02, n12, n22
 
-    args = (t_w, i_w, n_w[0], n_w[1], n_w[2])
-
     def dispatch(tiers):
         if not tiers:
             return walk_full
@@ -877,9 +890,293 @@ def mesh_closest_hit(static, mesh_arrays, o, d, exclude, t_bound=None,
         wc = make_walk_compact(u)
         return lambda a: jax.lax.cond(n_unres <= u, wc, dispatch(rest), a)
 
-    t_w, i_w, n0_, n1_, n2_ = jax.lax.cond(
+    return jax.lax.cond(
         n_unres == 0, lambda a: a, dispatch(u_tiers), args)
-    return t_w, i_w, (n0_, n1_, n2_)
+
+
+@functools.lru_cache(maxsize=32)
+def build_pair_kernel_occl(n_rows: int, interpret: bool = False,
+                           stream_tris: bool = False,
+                           tile_m: int = PAIR_TILE_M):
+    """Pallas kernel: ANY-hit-before-bound of each (ray, chunk) pair.
+
+    The NEE shadow cast needs only the boolean "some mesh triangle at
+    T_MIN <= t <= t_light" — not the closest winner with its normal.
+    f(pair_f (7, Mp, 128) f32 [o.xyz, d.xyz, t_bound (EXACT light
+    distance, unpadded — the predicate compare, not a cull)],
+    pair_i (2, Mp, 128) i32 [chunk_id sorted asc / -1 dead, exclude],
+    tri_rows) -> out (1, Mp, 128) i32 hit flag.
+
+    vs build_pair_kernel: no normal selects, no tie rule, one output
+    plane (the back-sort carries 2 payloads instead of 6), and the
+    chunk loop exits early once every live lane in the tile is
+    occluded. Triangle t arithmetic is copied op for op, so
+    (hit <=> closest-hit t <= t_bound) exactly.
+    """
+    from computeraytracer_tpu.ops import intersect as isect
+
+    shape = (tile_m, LANES)
+    rpc = meshpack.ROWS_PER_CHUNK
+    BIG_I = 2 ** 30
+
+    def kernel(pf_ref, pi_ref, tri_ref, oh_ref, *scratch):
+        big_i = jnp.int32(BIG_I)
+        o = tuple(pf_ref[i] for i in range(3))
+        d = tuple(pf_ref[3 + i] for i in range(3))
+        bound = pf_ref[6]
+        chunk = pi_ref[0]
+        exclude = pi_ref[1]
+        wt = isect.watertight_setup(o, d)
+
+        hit = jnp.zeros(shape, bool)
+        todo = jnp.where(chunk >= 0, chunk, big_i)
+
+        def row_read_for(c):
+            if stream_tris:
+                tri_scratch, tri_sem = scratch
+                dma = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(c * rpc, rpc), :], tri_scratch,
+                    tri_sem)
+                dma.start()
+                dma.wait()
+                return lambda rr: tri_scratch[pl.ds(rr, 1), :]
+            return lambda rr: tri_ref[pl.ds(c * rpc + rr, 1), :]
+
+        def cond(carry):
+            min_todo, todo, hit = carry
+            # exit when every pair is processed/dead OR every live
+            # pair's lane already found an occluder
+            return (min_todo < big_i) & ~jnp.all(hit | (todo == big_i))
+
+        def body(carry):
+            _, todo, hit = carry
+            c = jnp.min(todo)
+            sel = todo == c
+            row_read = row_read_for(c)
+
+            def row_step(rr, hit):
+                rowv = row_read(rr)
+                for j in range(meshpack.TRIS_PER_ROW):
+                    b = meshpack.LANES_PER_TRI * j
+                    p0 = (rowv[0, b + 0], rowv[0, b + 1], rowv[0, b + 2])
+                    v1 = (rowv[0, b + 3], rowv[0, b + 4], rowv[0, b + 5])
+                    v2 = (rowv[0, b + 6], rowv[0, b + 7], rowv[0, b + 8])
+                    tid = rowv[0, b + 9].astype(jnp.int32)
+                    n0 = (rowv[0, b + 10], rowv[0, b + 11],
+                          rowv[0, b + 12])
+                    ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
+                    flip = ndotd > 0.0
+                    grazing = jnp.abs(
+                        jnp.where(flip, -ndotd, ndotd)) < 1e-4
+                    num = (n0[0] * (p0[0] - o[0]) + n0[1] * (p0[1] - o[1])
+                           + n0[2] * (p0[2] - o[2]))
+                    t = num / jnp.where(grazing, 1.0, ndotd)
+                    inside = isect.watertight_inside(wt, p0, v1, v2,
+                                                     barrier=interpret)
+                    hit = hit | (sel & (exclude != tid) & (tid >= 0)
+                                 & ~grazing & inside & (t >= T_MIN)
+                                 & (t <= bound))
+                return hit
+
+            hit = jax.lax.fori_loop(0, rpc, row_step, hit)
+            todo = jnp.where(sel, big_i, todo)
+            return jnp.min(todo), todo, hit
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.min(todo), todo, hit))
+        oh_ref[0] = out[2].astype(jnp.int32)
+
+    @jax.jit
+    def pair_occluded(pair_f, pair_i, tri_rows):
+        mp = pair_f.shape[1]
+        grid = (mp // tile_m,)
+        tile = lambda kk: pl.BlockSpec((kk, tile_m, LANES),
+                                       lambda i: (0, i, 0),
+                                       memory_space=pltpu.VMEM)
+        scratch = []
+        if stream_tris:
+            scratch = [pltpu.VMEM((rpc, LANES), jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                tile(7), tile(2),
+                pl.BlockSpec(
+                    memory_space=pl.ANY if stream_tris else pltpu.VMEM),
+            ],
+            out_specs=[tile(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, mp, LANES), jnp.int32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(pair_f, pair_i, tri_rows)
+
+    return pair_occluded
+
+
+def mesh_occluded_part(pack_arrays, o, d, exclude, t_su,
+                       k: int | None = None, interpret: bool = False,
+                       stream_tris: bool = False, active=None):
+    """Occlusion predicate for ONE mesh part, binned-dense.
+
+    Returns (hit (R,) bool — some triangle at T_MIN <= t <= t_su;
+    resolved (R,) bool). A lane that found ANY occluder is resolved
+    regardless of omitted candidates (strictly more rays resolve than
+    in the closest-hit pipeline); a no-hit lane is resolved only when
+    no candidate was omitted. Back-sort carries 2 payloads (vs the
+    closest pipeline's 6); the down-sort carries one extra (t_su rides
+    to the kernel as the in-kernel predicate bound).
+    """
+    tri_rows, chunk_bbox = pack_arrays[0], pack_arrays[1]
+    k = DEFAULT_K if k is None else k
+    R = o[0].shape[0]
+    cand, t_next = candidate_chunks_pallas(chunk_bbox, o, d, t_su, k,
+                                           active, interpret)
+
+    P = R * k
+    tile = PAIR_TILE_M * LANES
+    p_pad = -(-P // tile) * tile
+    mp = p_pad // LANES
+
+    cand_flat = cand.reshape(P)
+    key = jnp.where(cand_flat >= 0, cand_flat.astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+    rep = lambda comp: jnp.broadcast_to(comp[:, None], (R, k)).reshape(P)
+    p0 = jnp.arange(P, dtype=jnp.int32)
+    (key_s, p0_s, o0s, o1s, o2s, d0s, d1s, d2s,
+     ex_s, tb_s) = jax.lax.sort(
+        (key, p0, rep(o[0]), rep(o[1]), rep(o[2]),
+         rep(d[0]), rep(d[1]), rep(d[2]),
+         rep(exclude.astype(jnp.int32)), rep(t_su)), num_keys=1)
+    chunk_s = jnp.where(key_s == jnp.uint32(0xFFFFFFFF), -1,
+                        key_s.astype(jnp.int32))
+
+    def plane1(v, fill):
+        if p_pad != P:
+            v = jnp.full((p_pad,), fill, v.dtype).at[:P].set(v)
+        return v.reshape(mp, LANES)
+
+    pair_f = jnp.stack([plane1(c, 0.0)
+                        for c in (o0s, o1s, o2s, d0s, d1s, d2s)]
+                       + [plane1(tb_s, -jnp.inf)])
+    pair_i = jnp.stack([plane1(chunk_s, -1), plane1(ex_s, -1)])
+
+    f = build_pair_kernel_occl(int(tri_rows.shape[0]), interpret,
+                               stream_tris)
+    (out_h,) = f(pair_f, pair_i, tri_rows)
+
+    trim = lambda a: a.reshape(p_pad)[:P]
+    (_, h_s) = jax.lax.sort((p0_s, trim(out_h)), num_keys=1)
+    hit = jnp.any(h_s.reshape(R, k) != 0, axis=1)
+    resolved = hit | ~jnp.isfinite(t_next)
+    return hit, resolved
+
+
+def mesh_occluded(static, mesh_arrays, o, d, exclude, t_su,
+                  k: int | None = None, interpret: bool = False,
+                  active=None):
+    """Occlusion predicate per ray across ALL mesh parts.
+
+    Returns occl (R,) bool — EXACTLY the boolean the closest-hit
+    pipeline derives as (idx >= 0) & (t <= t_su): the pair kernel
+    copies the closest kernel's t arithmetic op for op, a found
+    any-hit <= t_su implies closest <= t_su, and unresolved rays are
+    finished by the same seeded walk (closest t, then the same exact
+    compare). Used by the untaped wavefront forward, where no shadow
+    WINNER ID is needed (the replay-backward tape is the only consumer
+    of shadow winner identity)."""
+    stream = mk.should_stream_tris(static)
+    k = DEFAULT_K if k is None else k
+    R = o[0].shape[0]
+    hit = jnp.zeros((R,), bool)
+    resolved = jnp.ones((R,), bool)
+    for pi, part in enumerate(static.mesh_parts):
+        arrs = mesh_arrays[mk.ARRAYS_PER_PART * pi:
+                           mk.ARRAYS_PER_PART * (pi + 1)]
+        h_p, res_p = mesh_occluded_part(
+            arrs, o, d, exclude, t_su, k, interpret, stream, active)
+        hit = hit | h_p
+        resolved = resolved & res_p
+
+    # a found occluder settles the ray even if some part was unresolved
+    unres = ~hit & ~resolved
+    seed = (jnp.full((R,), jnp.inf, jnp.float32),
+            jnp.full((R,), -1, jnp.int32),
+            jnp.zeros((R,), jnp.float32), jnp.zeros((R,), jnp.float32),
+            jnp.zeros((R,), jnp.float32))
+    t_w, i_w, _, _, _ = _walk_finish(
+        static, mesh_arrays, o, d, exclude, unres, seed, interpret)
+    return hit | ((i_w >= 0) & (t_w <= t_su))
+
+
+def mesh_occluded_batched(static, mesh_arrays, o, d, exclude, t_su,
+                          k: int | None = None, interpret: bool = False,
+                          active=None, batch: int | None = None,
+                          threshold: int | None = None):
+    """mesh_occluded with the same live-compaction batching as
+    mesh_closest_hit_batched (see there for the design and the
+    measured dense-cast threshold); NEE populations are the sparsest
+    casts in the wavefront, so shadow casts batch most often."""
+    R = o[0].shape[0]
+    tile = PAIR_TILE_M * LANES
+    if batch is not None:
+        batch = max(tile, (batch // tile) * tile)
+    if batch is None or active is None or batch >= R:
+        return mesh_occluded(static, mesh_arrays, o, d, exclude, t_su,
+                             k=k, interpret=interpret, active=active)
+    nb_max = -(-R // batch)
+    r_pad = nb_max * batch
+    n_live = jnp.sum(active.astype(jnp.int32))
+
+    def plain(_):
+        return mesh_occluded(static, mesh_arrays, o, d, exclude, t_su,
+                             k=k, interpret=interpret, active=active)
+
+    def batched(_):
+        rid = jnp.arange(R, dtype=jnp.uint32)
+        key = jnp.where(active, rid, rid | jnp.uint32(1 << 31))
+        (key_s, o0s, o1s, o2s, d0s, d1s, d2s, ex_s, tb_s) = jax.lax.sort(
+            (key, o[0], o[1], o[2], d[0], d[1], d[2],
+             exclude.astype(jnp.int32), t_su), num_keys=1)
+        rid_s = key_s & jnp.uint32(0x7FFFFFFF)
+
+        def padto(v, fill):
+            if r_pad == R:
+                return v
+            return jnp.full((r_pad,), fill, v.dtype).at[:R].set(v)
+
+        o_s = (padto(o0s, 0.0), padto(o1s, 0.0), padto(o2s, 0.0))
+        d_s = (padto(d0s, 1.0), padto(d1s, 0.0), padto(d2s, 0.0))
+        ex_p = padto(ex_s, -1)
+        tb_p = padto(tb_s, 0.0)
+        h0 = jnp.zeros((r_pad,), jnp.int32)
+        nb = (n_live + batch - 1) // batch
+
+        def body(carry):
+            i, h_a = carry
+            s = i * batch
+            sl = lambda a: jax.lax.dynamic_slice(a, (s,), (batch,))
+            act = (jnp.arange(batch, dtype=jnp.int32) + s) < n_live
+            h_b = mesh_occluded(
+                static, mesh_arrays,
+                (sl(o_s[0]), sl(o_s[1]), sl(o_s[2])),
+                (sl(d_s[0]), sl(d_s[1]), sl(d_s[2])),
+                sl(ex_p), sl(tb_p), k=k, interpret=interpret,
+                active=act)
+            return (i + 1, jax.lax.dynamic_update_slice(
+                h_a, h_b.astype(jnp.int32), (s,)))
+
+        _, h_s = jax.lax.while_loop(
+            lambda c: c[0] < nb, body, (jnp.int32(0), h0))
+        (_, h_o) = jax.lax.sort(
+            (padto(rid_s, jnp.uint32(0xFFFFFFFF)), h_s), num_keys=1)
+        return h_o[:R] != 0
+
+    if threshold is not None and threshold < R:
+        return jax.lax.cond(n_live <= threshold, batched, plain, 0)
+    return batched(0)
 
 
 def mesh_closest_hit_batched(static, mesh_arrays, o, d, exclude,

@@ -208,7 +208,7 @@ _mesh_call.defvjp(_mesh_fwd, _mesh_bwd)
 
 
 def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
-                       spect_p, mesh_arrays, interpret):
+                       spect_p, mesh_arrays, interpret, taped=True):
     """Binned wavefront: one shade dispatch per bounce, mesh casts in
     between at per-RAY granularity (kernels/binned.py).
 
@@ -314,17 +314,31 @@ def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
             t_su = flat(sh_f[fb + 3])
             id_su = flat(sh_i[2 * l_i])
             lsel = flat(sh_i[2 * l_i + 1]) != 0
-            # the shadow winner needs only "mesh hit at t <= t_su":
-            # t_su is itself the occlusion bound
-            t_ms, i_ms, _, _, _ = cast(sh_o, ldir, ex_sh, lsel, t_su)
-            # mesh ids exceed every unrolled id (SceneStatic contract),
-            # so the tie rule reduces to t_mesh <= t_unrolled
-            occl = (i_ms >= 0) & (t_ms <= t_su)
+            if taped:
+                # the replay backward consumes the shadow WINNER ID, so
+                # the taped forward needs the closest occluder. The tie
+                # rule reduces to t_mesh <= t_unrolled (mesh ids exceed
+                # every unrolled id, SceneStatic contract).
+                t_ms, i_ms, _, _, _ = cast(sh_o, ldir, ex_sh, lsel, t_su)
+                occl = (i_ms >= 0) & (t_ms <= t_su)
+                tape_l.append(jnp.where(occl, i_ms, id_su)
+                              .reshape(m, LANES))
+            else:
+                # forward-only: the occlusion BOOLEAN suffices — any-hit
+                # pipeline (2 back-sort payloads instead of 6, no normal
+                # work, early-exit pair kernel, hit => resolved)
+                occl = jax.lax.cond(
+                    jnp.any(lsel),
+                    lambda _: binned.mesh_occluded_batched(
+                        static, mesh_arrays, sh_o, ldir, ex_sh, t_su,
+                        interpret=interpret, active=lsel,
+                        batch=R // MESH_CAST_BATCH_FRACTION,
+                        threshold=R // MESH_CAST_THRESHOLD_FRACTION),
+                    lambda _: jnp.zeros((R,), bool), 0)
+                tape_l.append(jnp.full((m, LANES), -1, jnp.int32))
             occl_p = occl.reshape(1, m, LANES)
             l_add = l_add + jnp.where(occl_p, 0.0,
                                       sh_f[fb + 4:fb + 8])
-            tape_l.append(jnp.where(occl, i_ms, id_su)
-                          .reshape(m, LANES))
         for _ in range(n_lights - nl_real):
             tape_l.append(jnp.full((m, LANES), -1, jnp.int32))
         carry_f = carry_f.at[6:10].add(l_add)
@@ -340,11 +354,12 @@ def _wavefront_forward(step_fn, static, max_depth, prims_u, rays, seeds,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _mesh_call_wf(step_fn, static, max_depth, rr_start,
                   prims_full, rays, seeds, spect_p, cats, mesh_arrays):
-    """Wavefront mesh call; backward is the same guided replay."""
+    """Wavefront mesh call; backward is the same guided replay. The
+    primal (no-grad) path skips the tapes — any-hit shadow casts."""
     prims_u = prims_full[jnp.asarray(static.rows)]
     out, _, _ = _wavefront_forward(step_fn, static, max_depth, prims_u,
                                    rays, seeds, spect_p, mesh_arrays,
-                                   _use_interpret())
+                                   _use_interpret(), taped=False)
     return out
 
 
@@ -507,7 +522,8 @@ def _dispatch(scene, static, rays, seeds, spect_p, max_depth, rr_start,
         prims_u = mk.pack_prims(scene, static)
         out, _, _ = _wavefront_forward(step_fn, static, int(max_depth),
                                        prims_u, rays, seeds, spect_p,
-                                       mesh_arrays, interpret)
+                                       mesh_arrays, interpret,
+                                       taped=False)
     elif backward == "pallas":
         # re-trace the full forward INSIDE the backward kernel, then
         # the reverse sweep — no tape traffic. DEFAULT over the tape-

@@ -131,16 +131,34 @@ def make_loss_fn(static_scene, width, height, spp, max_depth,
 
 
 def make_train_step(static_scene, optimizer, width, height, spp, max_depth,
-                    rr_start: int = 1, mesh=None, kernel: str = "xla"):
-    """jitted (params, opt_state, target, first_sample) -> updated state."""
+                    rr_start: int = 1, mesh=None, kernel: str = "xla",
+                    spectra_rows=None):
+    """jitted (params, opt_state, target, first_sample) -> updated state.
+
+    spectra_rows: optional sequence of spectra ROW indices to train;
+    other rows are frozen (their updates zeroed). Restricting to the
+    materials under optimization avoids the coupled-row drift of joint
+    recovery: with every row free, unperturbed albedos absorb residual
+    error along near-flat loss valleys (measured at 1024^2: the green
+    row, never perturbed, drifted to 2.5x its own scale while the loss
+    plateaued)."""
     loss_fn = make_loss_fn(static_scene, width, height, spp, max_depth,
                            rr_start, mesh, kernel=kernel)
+    row_mask = None
+    if spectra_rows is not None:
+        n_rows = static_scene.spectra.shape[0]
+        row_mask = jnp.zeros((n_rows, 1), jnp.float32)
+        for r in spectra_rows:
+            row_mask = row_mask.at[int(r), 0].set(1.0)
 
     @jax.jit
     def step(params, opt_state, target, first_sample):
         loss, grads = jax.value_and_grad(loss_fn)(params, target,
                                                   first_sample)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if row_mask is not None and "spectra" in updates:
+            updates = dict(updates,
+                           spectra=updates["spectra"] * row_mask)
         params = optax.apply_updates(params, updates)
         # projected step: spectra (reflectance/emission/extinction) are
         # physically nonnegative, and Adam's normalized step walks rows
@@ -177,7 +195,7 @@ def optimize(scene, target, width, height, *, trainable=("spectra",),
              rr_start: int = 1, mesh=None, checkpoint_dir: Optional[str] = None,
              checkpoint_every: int = 25, callback=None,
              fresh_samples: bool = False, kernel: str = "xla",
-             lr_schedule: Optional[str] = None):
+             lr_schedule: Optional[str] = None, spectra_rows=None):
     """Run the material/geometry optimization loop (config 4).
 
     fresh_samples=False (default) uses the SAME sample set every step
@@ -201,7 +219,8 @@ def optimize(scene, target, width, height, *, trainable=("spectra",),
         raise ValueError(f"unknown lr_schedule: {lr_schedule!r}")
     opt_state = optimizer.init(params)
     step_fn = make_train_step(static_scene, optimizer, width, height, spp,
-                              max_depth, rr_start, mesh, kernel=kernel)
+                              max_depth, rr_start, mesh, kernel=kernel,
+                              spectra_rows=spectra_rows)
     losses = []
     ckpt = None
     if checkpoint_dir is not None:

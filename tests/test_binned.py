@@ -126,3 +126,49 @@ def test_batched_cast_matches_plain():
             active=act, batch=1024, threshold=R // 4)
         assert (np.asarray(i1) == np.asarray(i3)).all(), frac
         assert (np.asarray(t1) == np.asarray(t3)).all(), frac
+
+
+def test_occlusion_matches_closest_hit_derived():
+    """mesh_occluded (any-hit pipeline) == the boolean the closest-hit
+    pipeline derives as (idx >= 0) & (t <= t_su), at every live
+    fraction and through the batched wrapper — the untaped wavefront's
+    shadow casts depend on this equivalence."""
+    from computeraytracer_tpu.scene import presets, scene_from_dict
+    from computeraytracer_tpu.tracer import pallas as pt
+
+    scene, _ = scene_from_dict(presets.mesh_scene(16, 16, subdivisions=2))
+    static = pt.SceneStatic.from_scene(scene, mesh_min=64)
+    packs = pt.mesh_packs_for(scene, static)
+    mesh_arrays = tuple(jnp.asarray(a) for p in packs for a in p.arrays)
+    rng_ = np.random.default_rng(3)
+    R = 4096
+    bb = np.asarray(packs[0].chunk_bbox)
+    bb = bb[np.abs(bb[:, 0:6]).max(1) < 1e6]
+    lo, hi = bb[:, 0:3].min(0), bb[:, 3:6].max(0)
+    ctr, ext = (lo + hi) / 2, (hi - lo)
+    on = ctr + rng_.uniform(-1.5, 1.5, (R, 3)) * ext
+    tgt = ctr + rng_.uniform(-0.5, 0.5, (R, 3)) * ext
+    dn = tgt - on
+    dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+    o = tuple(jnp.asarray(on[:, c], jnp.float32) for c in range(3))
+    d = tuple(jnp.asarray(dn[:, c], jnp.float32) for c in range(3))
+    ex = jnp.full((R,), -1, jnp.int32)
+    # light distances straddling the mesh: both outcomes well populated
+    tsu = jnp.asarray(rng_.uniform(0.5, 3.0, R) * float(ext.max()),
+                      jnp.float32)
+    for frac in (0.04, 1.0):
+        act = jnp.asarray(rng_.uniform(size=R) < frac)
+        t1, i1, _ = binned.mesh_closest_hit(
+            static, mesh_arrays, o, d, ex, t_bound=tsu, interpret=True,
+            active=act)
+        want = np.asarray((i1 >= 0) & (t1 <= tsu))
+        got = np.asarray(binned.mesh_occluded(
+            static, mesh_arrays, o, d, ex, tsu, interpret=True,
+            active=act))
+        assert (got == want).all(), (frac, int((got != want).sum()))
+        got_b = np.asarray(binned.mesh_occluded_batched(
+            static, mesh_arrays, o, d, ex, tsu, interpret=True,
+            active=act, batch=1024, threshold=R // 4))
+        assert (got_b == want).all(), frac
+        if frac == 1.0:
+            assert want.any() and not want.all()
